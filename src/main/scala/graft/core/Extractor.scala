@@ -1,0 +1,99 @@
+package graft.core
+
+/**
+ * The HTML extraction kernel: one parse, all formats — the Spark-side analog
+ * of the reference's `DataExtractor.extractData`
+ * (`packages/scrape/src/core/DataExtractor.ts:230-341`), where the cleaned
+ * HTML is computed once and markdown derives from it, all formats sharing
+ * the single parsed DOM (the reference's per-format promise DAG collapses to
+ * straight-line code here).
+ *
+ * Invoked executor-side from a `mapPartitions` over (url, html) — the single
+ * opaque (non-codegen) stage in the extraction plan; everything before and
+ * after stays in whole-stage codegen. Format selection prunes work: callers
+ * pass only the formats they need so unneeded serializers never run
+ * (mirroring `formats` at DataExtractor.ts:251-277).
+ */
+object Extractor {
+
+  final case class MetaEntry(name: String, content: String, property: Option[String])
+
+  final case class Extracted(
+      url: String,
+      title: String,
+      metadata: Seq[MetaEntry],
+      html: Option[String],     // cleaned + absolutized (format "html")
+      markdown: Option[String], // format "markdown"
+      text: Option[String],     // format "text" (over *raw* html, :276)
+      links: Seq[String]        // absolutized out-links in document order
+  )
+
+  final case class Formats(
+      html: Boolean = true,
+      markdown: Boolean = true,
+      text: Boolean = true,
+      links: Boolean = true)
+
+  def extract(url: String, rawHtml: String, formats: Formats = Formats(),
+      cleanOpts: Cleaner.Options = Cleaner.Options()): Extracted = {
+    val doc = Html.parse(rawHtml)
+
+    // title ($('title').text().trim(), DataExtractor.ts:158-162)
+    val title = Html.selectFirst(doc, "title").map(_.text.trim).getOrElse("")
+
+    // metadata (<meta> with (name|property)+content, DataExtractor.ts:175-198)
+    val metadata = Html.select(doc, "meta").flatMap { m =>
+      val name = m.attr("name").filter(_.nonEmpty)
+      val property = m.attr("property").filter(_.nonEmpty)
+      val content = m.attr("content")
+      (name.orElse(property), content) match {
+        case (Some(n), Some(c)) => Some(MetaEntry(n, c.trim, property))
+        case _ => None
+      }
+    }
+
+    // links extracted from the RAW dom before cleaning (Crawlee enqueueLinks
+    // operates on the fetched page, not the cleaned one): every a[href],
+    // resolved against the page url (Base.ts:362-403 + HTMLTransformer
+    // resolve semantics).
+    val links: Seq[String] =
+      if (formats.links) LinkExtractor.extract(doc, url) else Nil
+
+    val needClean = formats.html || formats.markdown
+    val cleaned: Option[String] =
+      if (needClean) Some(Cleaner.transformHtml(doc, url, cleanOpts)) else None
+
+    val markdown = if (formats.markdown) cleaned.map(Markdown.fromHtml) else None
+    val text = if (formats.text) Some(TextExtract.fromHtml(rawHtml)) else None
+
+    Extracted(url, title, metadata,
+      if (formats.html) cleaned else None,
+      markdown, text, links)
+  }
+}
+
+/**
+ * Out-link extraction: the UDTF-shaped half of Crawlee's `enqueueLinks`
+ * (Base.ts:362-403) — collect `a[href]`, resolve each against the page URL
+ * (with the reference's malformed-scheme repair + return-input fallback),
+ * keep only http(s), preserve document order, de-dup within the page.
+ */
+object LinkExtractor {
+  def extract(doc: Html.Doc, baseUrl: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    Html.select(doc, "a[href]").foreach { a =>
+      a.attr("href").map(_.trim).filter(_.nonEmpty).foreach { href =>
+        if (!href.startsWith("#") && !href.toLowerCase.startsWith("javascript:") &&
+            !href.toLowerCase.startsWith("mailto:") && !href.toLowerCase.startsWith("tel:")) {
+          val abs = UrlOps.resolve(baseUrl, href)
+          val scheme = UrlOps.parse(abs).flatMap(_.scheme).map(_.toLowerCase)
+          if (scheme.contains("http") || scheme.contains("https")) seen += abs
+        }
+      }
+    }
+    seen.toSeq
+  }
+
+  def extractFromHtml(html: String, baseUrl: String): Seq[String] =
+    extract(Html.parse(html), baseUrl)
+}

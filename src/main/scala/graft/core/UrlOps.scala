@@ -1,0 +1,258 @@
+package graft.core
+
+/**
+ * Pure URL algebra for the crawl engine: parsing, RFC-3986 reference
+ * resolution, and crawl-dedup normalization.
+ *
+ * Semantics derived from the reference (AnyCrawl):
+ *  - resolve: `packages/scrape/src/core/transformers/HTMLTransformer.ts:366-384`
+ *    (`http:/x` -> `http://x` scheme repair, WHATWG `new URL(rel, base)`
+ *    resolution, return-input-on-failure).
+ *  - normalize (uniqueKey): Crawlee `Request.computeUniqueKey` semantics
+ *    (public knowledge), used at `packages/scrape/src/engines/Base.ts:392-400`:
+ *    lowercase scheme+host, strip fragment, drop `utm_*` params, sort the
+ *    remaining query params, trim whitespace.
+ *
+ * Everything here is a total, deterministic function — unit/property tested
+ * (idempotence, resolve totality) so it is safe inside executor-side codegen
+ * paths and dedup keys at 10^10-URL scale.
+ */
+object UrlOps {
+
+  /** Parsed URL parts. `authority` includes userinfo/host/port verbatim. */
+  final case class Parts(
+      scheme: Option[String],
+      authority: Option[String],
+      path: String,
+      query: Option[String],
+      fragment: Option[String]
+  ) {
+    def render: String = {
+      val sb = new StringBuilder
+      scheme.foreach(s => sb.append(s).append(':'))
+      authority.foreach(a => sb.append("//").append(a))
+      sb.append(path)
+      query.foreach(q => sb.append('?').append(q))
+      fragment.foreach(f => sb.append('#').append(f))
+      sb.toString
+    }
+  }
+
+  // RFC 3986 appendix B regex.
+  private val UrlRe =
+    """^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$""".r
+
+  def parse(url: String): Option[Parts] = url match {
+    case UrlRe(scheme, auth, path, query, frag) =>
+      Some(Parts(Option(scheme), Option(auth), if (path == null) "" else path, Option(query), Option(frag)))
+    case _ => None
+  }
+
+  /** Repair `http:/host` / `https:/host` (single-slash scheme), as the
+    * reference does before resolution (HTMLTransformer.ts:368-374). */
+  def repairScheme(u: String): String = {
+    if (u.startsWith("http:/") && !u.startsWith("http://")) "http://" + u.substring(6)
+    else if (u.startsWith("https:/") && !u.startsWith("https://")) "https://" + u.substring(7)
+    else u
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); trimLastSegment(out) }
+      else if (in == "/..") { in = "/"; trimLastSegment(out) }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        if (next < 0) { out.append(in); in = "" }
+        else { out.append(in.substring(0, next)); in = in.substring(next) }
+      }
+    }
+    out.toString
+  }
+
+  private def trimLastSegment(sb: StringBuilder): Unit = {
+    val idx = sb.lastIndexOf("/")
+    if (idx >= 0) sb.setLength(idx) else sb.setLength(0)
+  }
+
+  /**
+   * Resolve a (possibly relative, possibly malformed) URL reference against a
+   * base. Mirrors the reference's `resolveUrl` (WHATWG-equivalent for the
+   * fixture domain): scheme repair first, RFC 3986 §5.2 merge, dot-segment
+   * removal, and *returns the input unchanged* when resolution is impossible.
+   */
+  def resolve(base: String, ref: String): String = {
+    val r = repairScheme(ref.trim)
+    (parse(base.trim), parse(r)) match {
+      case (Some(b), Some(p)) if b.scheme.isDefined =>
+        val resolved =
+          if (p.scheme.isDefined) p.copy(path = removeDotSegments(p.path))
+          else if (p.authority.isDefined) p.copy(scheme = b.scheme, path = removeDotSegments(p.path))
+          else if (p.path.isEmpty) {
+            val q = if (p.query.isDefined) p.query else b.query
+            Parts(b.scheme, b.authority, b.path, q, p.fragment)
+          } else if (p.path.startsWith("/"))
+            Parts(b.scheme, b.authority, removeDotSegments(p.path), p.query, p.fragment)
+          else {
+            val merged =
+              if (b.authority.isDefined && b.path.isEmpty) "/" + p.path
+              else {
+                val i = b.path.lastIndexOf('/')
+                (if (i >= 0) b.path.substring(0, i + 1) else "") + p.path
+              }
+            Parts(b.scheme, b.authority, removeDotSegments(merged), p.query, p.fragment)
+          }
+        // WHATWG: an authority with an empty path serializes with "/".
+        val norm =
+          if (resolved.authority.isDefined && resolved.path.isEmpty) resolved.copy(path = "/")
+          else resolved
+        norm.render
+      case _ => ref
+    }
+  }
+
+  /** Lowercased host (no port, no userinfo); empty string when absent. */
+  def host(url: String): String =
+    parse(url.trim).flatMap(_.authority).map { a =>
+      val noUser = a.substring(a.indexOf('@') + 1)
+      val h = noUser.lastIndexOf(':') match {
+        // IPv6 literals keep their brackets; only strip a trailing :port.
+        case i if i > noUser.lastIndexOf(']') && i >= 0 => noUser.substring(0, i)
+        case _ => noUser
+      }
+      h.toLowerCase
+    }.getOrElse("")
+
+  /** scheme://host[:explicit-non-default-port] */
+  def origin(url: String): String = parse(url.trim) match {
+    case Some(p) if p.scheme.isDefined && p.authority.isDefined =>
+      val sch = p.scheme.get.toLowerCase
+      val h = host(url)
+      val port = portOf(p.authority.get).filterNot(pt => isDefaultPort(sch, pt)).map(":" + _).getOrElse("")
+      s"$sch://$h$port"
+    case _ => ""
+  }
+
+  private def portOf(auth: String): Option[String] = {
+    val noUser = auth.substring(auth.indexOf('@') + 1)
+    val i = noUser.lastIndexOf(':')
+    if (i > noUser.lastIndexOf(']') && i >= 0 && i < noUser.length - 1) Some(noUser.substring(i + 1)) else None
+  }
+
+  private def isDefaultPort(scheme: String, port: String): Boolean =
+    (scheme == "http" && port == "80") || (scheme == "https" && port == "443")
+
+  /** Multi-label public suffixes we recognize without a dependency; enough
+    * for eTLD+1 ("registrable domain") on common hosts + the fixture domain. */
+  private val multiSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.kr", "or.kr", "go.kr", "co.nz", "org.nz", "net.nz",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.za", "org.za", "com.my", "co.id", "or.id"
+  )
+
+  /** eTLD+1 of the host of `url` ("same-domain" crawl-strategy key). A bare
+    * single-label host (or IP) is returned as-is. */
+  def registrableDomain(url: String): String = {
+    val h = host(url)
+    if (h.isEmpty || h.forall(c => c.isDigit || c == '.') || h.startsWith("[")) return h
+    val labels = h.split('.')
+    if (labels.length <= 2) return h
+    val last2 = labels.takeRight(2).mkString(".")
+    val n = if (multiSuffixes.contains(last2)) 3 else 2
+    labels.takeRight(math.min(n, labels.length)).mkString(".")
+  }
+
+  /**
+   * Crawl-dedup normalization (Crawlee `computeUniqueKey` semantics):
+   * trim; lowercase scheme + host; strip fragment; drop `utm_*` query params;
+   * sort remaining params by (name, value); drop an empty query; keep path
+   * bytes as-is. Idempotent (property-tested).
+   */
+  def normalize(url: String): String = parse(url.trim) match {
+    case Some(p) if p.scheme.isDefined =>
+      val scheme = p.scheme.map(_.toLowerCase)
+      val auth = p.authority.map { a =>
+        val at = a.indexOf('@')
+        val (user, hostPort) = if (at >= 0) (a.substring(0, at + 1), a.substring(at + 1)) else ("", a)
+        val lower = hostPort.toLowerCase
+        // strip default ports
+        val stripped = scheme match {
+          case Some("http") if lower.endsWith(":80")  => lower.dropRight(3)
+          case Some("https") if lower.endsWith(":443") => lower.dropRight(4)
+          case _ => lower
+        }
+        user + stripped
+      }
+      val query = p.query.flatMap { q =>
+        val kept = q.split('&').toSeq.filter(_.nonEmpty)
+          .filterNot(_.toLowerCase.startsWith("utm_"))
+          .sorted
+        if (kept.isEmpty) None else Some(kept.mkString("&"))
+      }
+      val path = if (auth.isDefined && p.path.isEmpty) "/" else p.path
+      Parts(scheme, auth, path, query, None).render
+    case _ => url.trim
+  }
+
+  /** Per-job dedup key, `"{jobId}-{normalize(url)}"` (Base.ts:400). */
+  def uniqueKey(jobId: String, url: String): String = s"$jobId-${normalize(url)}"
+
+  /**
+   * Glob -> anchored regex, minimatch-style subset used by the reference's
+   * include/exclude paths (Base.ts:327-353): `**` crosses `/`, `*` and `?`
+   * do not. A `/body/flags` literal is compiled as a (non-anchored) regex,
+   * mirroring Base.ts:331-344.
+   */
+  def compilePattern(pattern: String): java.util.regex.Pattern = {
+    val lit = """^/(.*)/([gimsuy]*)$""".r
+    pattern match {
+      case lit(body, flags) =>
+        try {
+          var f = 0
+          if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+          if (flags.contains('s')) f |= java.util.regex.Pattern.DOTALL
+          if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
+          java.util.regex.Pattern.compile(body, f)
+        } catch { case _: Exception => globToRegex(pattern) }
+      case _ => globToRegex(pattern)
+    }
+  }
+
+  private def globToRegex(glob: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' => sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$')
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+
+  /** True if `url` matches any compiled pattern (regex literals use find(),
+    * globs use full match — minimatch semantics). */
+  def matchesAny(url: String, patterns: Seq[java.util.regex.Pattern], rawPatterns: Seq[String]): Boolean =
+    patterns.zip(rawPatterns).exists { case (p, raw) =>
+      if (raw.startsWith("/")) p.matcher(url).find() else p.matcher(url).matches()
+    }
+}
