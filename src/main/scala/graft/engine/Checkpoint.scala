@@ -1,0 +1,100 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.Serialization
+import scala.jdk.CollectionConverters._
+
+/**
+ * Checkpoint / snapshot store for the BSP crawl loop (SURVEY §4.2).
+ *
+ * Layout under `workDir` (filesystem-agnostic pattern; an Iceberg snapshot
+ * with summary properties is the drop-in production backend — no Iceberg
+ * jars ship in this sandbox, so we mimic its commit protocol):
+ *
+ *   frontier/gen=N/   parquet  pending frontier at the START of generation N
+ *   results/gen=N/    parquet  fetch results produced BY generation N
+ *   seen/gen=N/       parquet  (jobId, urlNorm) newly enqueued in generation N
+ *   bloom/gen=N.bin   bytes    serialized SeenBloom AFTER generation N
+ *   manifest/gen=N.json        commit record (atomic rename) — a generation
+ *                              EXISTS iff its manifest file exists
+ *
+ * Crash mid-generation => no manifest => the generation's partial output
+ * directories are overwritten on replay (idempotent, exactly-once results).
+ */
+final case class GenManifest(
+    generation: Int,
+    progress: Seq[JobProgress],
+    seqOffsets: Map[String, Long],
+    batchCount: Long,
+    freshCount: Long,
+    // per-partition lineage of the scheduled batch (north rule):
+    // partitionId -> rows fetched from it this generation
+    partitionLineage: Map[String, Long],
+    fetchedPages: Long,
+    extractedDocs: Long,
+    wallMillis: Long)
+
+final class Checkpoint(workDir: String) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  def frontierPath(gen: Int): String = s"$workDir/frontier/gen=$gen"
+  def resultsPath(gen: Int): String = s"$workDir/results/gen=$gen"
+  def seenPath(gen: Int): String = s"$workDir/seen/gen=$gen"
+  def bloomPath(gen: Int): Path = Paths.get(s"$workDir/bloom/gen=$gen.bin")
+  private def manifestPath(gen: Int): Path = Paths.get(s"$workDir/manifest/gen=$gen.json")
+
+  def commit(m: GenManifest, bloomBytes: Array[Byte]): Unit = {
+    Files.createDirectories(Paths.get(s"$workDir/manifest"))
+    Files.createDirectories(Paths.get(s"$workDir/bloom"))
+    Files.write(bloomPath(m.generation), bloomBytes)
+    val tmp = Paths.get(s"$workDir/manifest/.gen=${m.generation}.json.tmp")
+    Files.writeString(tmp, Serialization.write(m))
+    Files.move(tmp, manifestPath(m.generation), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifest(gen: Int): Option[GenManifest] = {
+    val p = manifestPath(gen)
+    if (Files.exists(p)) Some(Serialization.read[GenManifest](Files.readString(p))) else None
+  }
+
+  /** Highest committed generation, if any. */
+  def lastCommitted: Option[GenManifest] = {
+    val dir = Paths.get(s"$workDir/manifest")
+    if (!Files.exists(dir)) return None
+    val gens = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("gen=") && s.endsWith(".json") =>
+        s.stripPrefix("gen=").stripSuffix(".json").toInt }
+      .toSeq
+    if (gens.isEmpty) None else readManifest(gens.max)
+  }
+
+  /** Delete uncommitted generation directories > `gen` (crash cleanup). */
+  def truncateAfter(gen: Int): Unit = {
+    Seq("frontier", "results", "seen").foreach { sub =>
+      val dir = Paths.get(s"$workDir/$sub")
+      if (Files.exists(dir)) {
+        Files.list(dir).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("gen=") && scala.util.Try(n.stripPrefix("gen=").toInt).toOption.exists(_ > gen)
+          }
+          .foreach(deleteRecursively)
+      }
+    }
+  }
+
+  /** All committed seen directories up to and including `gen`. */
+  def seenPathsThrough(gen: Int): Seq[String] =
+    (0 to gen).map(seenPath).filter(p => Files.exists(Paths.get(p)))
+
+  def resultPathsThrough(gen: Int): Seq[String] =
+    (0 to gen).map(resultsPath).filter(p => Files.exists(Paths.get(p)))
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

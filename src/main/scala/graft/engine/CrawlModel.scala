@@ -1,0 +1,94 @@
+package graft.engine
+
+import graft.core.{Extractor, UrlOps}
+
+/**
+ * Typed data model of the Spark-native crawl engine (SURVEY §1.1): the
+ * frontier is a TABLE of [[FrontierEntry]], not a queue; progress is an
+ * aggregate, not a Redis hash.
+ */
+
+/** One URL awaiting fetch. `priority` encodes FIFO discovery order within a
+  * depth generation: `parentSeq * 4096 + linkIndex` (seeds: seed index).
+  * Canonical crawl order = (depth ASC, priority ASC, urlNorm ASC) — this
+  * replaces the reference's race-dependent Crawlee queue order with a
+  * reproducible one (SURVEY §2.5 W2). */
+final case class FrontierEntry(
+    jobId: String,
+    url: String,
+    urlNorm: String,
+    host: String,
+    depth: Int,
+    priority: Long,
+    parentUrl: String,
+    attempt: Int)
+
+/** One fetch attempt's outcome (a row of the results table).
+  * `seq` is the canonical fetch-order sequence number within the job. */
+final case class PageResult(
+    jobId: String,
+    seq: Long,
+    url: String,
+    urlNorm: String,
+    host: String,
+    depth: Int,
+    attempt: Int,
+    status: Int,          // 200 | 404 (corpus-join model, SURVEY §2.1 S1)
+    success: Boolean,
+    terminal: Boolean,    // false => will be retried next generation
+    title: String,
+    markdown: String,
+    text: String,
+    htmlClean: String,
+    linkCount: Int,
+    generation: Int)
+
+/** Crawl job configuration — the typed analog of the reference's
+  * `crawl_options` (managers/Queue.ts:27-34 + CrawlSchema.ts:6-101). */
+final case class CrawlConfig(
+    jobId: String,
+    seeds: Seq[String],
+    strategy: String = "same-domain",          // all|same-domain|same-hostname|same-origin
+    maxDepth: Int = 10,                         // CrawlSchema default
+    limit: Int = 100,                           // CrawlSchema default (max 50000)
+    includePaths: Seq[String] = Nil,
+    excludePaths: Seq[String] = Nil,
+    hostBudgetPerStep: Int = Int.MaxValue,      // politeness: fetches/host/superstep
+    respectRobots: Boolean = false,
+    userAgent: String = "graftbot",
+    maxAttempts: Int = 3,                       // BullMQ budget (Queue.ts:83)
+    formats: Extractor.Formats = Extractor.Formats()) {
+
+  /** Scope keys of the seed set, precomputed once on the driver and shipped
+    * in the closure (P2: strategy filter). */
+  lazy val seedHosts: Set[String] = seeds.map(UrlOps.host).toSet
+  lazy val seedDomains: Set[String] = seeds.map(UrlOps.registrableDomain).toSet
+  lazy val seedOrigins: Set[String] = seeds.map(UrlOps.origin).toSet
+
+  def inScope(url: String): Boolean = strategy match {
+    case "all" => true
+    case "same-hostname" => seedHosts.contains(UrlOps.host(url))
+    case "same-origin" => seedOrigins.contains(UrlOps.origin(url))
+    case _ => seedDomains.contains(UrlOps.registrableDomain(url)) // same-domain
+  }
+}
+
+/** Per-job progress counters — the BSP replacement for the reference's Redis
+  * hash `crawl:{jobId}` (managers/Progress.ts:7-23). Updated only at
+  * superstep barriers, so no Lua/CAS atomicity is needed (SURVEY §2.4 A3). */
+final case class JobProgress(
+    jobId: String,
+    enqueued: Long = 0,
+    done: Long = 0,
+    succeeded: Long = 0,
+    failed: Long = 0,
+    finalized: Boolean = false,
+    finalizeReason: String = "") {
+
+  /** Progress.ts:285-311 finalize predicate, barrier-evaluated. */
+  def shouldFinalize(limit: Int, pendingInFrontier: Long): (Boolean, String) =
+    if (limit > 0 && done >= limit) (true, "limit-reached")
+    else if (pendingInFrontier == 0 && enqueued > 0 && done >= enqueued) (true, "frontier-exhausted")
+    else if (pendingInFrontier == 0) (true, "frontier-empty")
+    else (false, "")
+}

@@ -1,0 +1,203 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.SiteGen
+import graft.core.UrlOps
+import java.nio.file.Files
+
+class CrawlEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("crawl-engine-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val seed = 42L
+  private val nPages = 80
+  private val nHosts = 4
+  private lazy val corpusRows = SiteGen.rows(seed, nPages, nHosts).toSeq
+  private lazy val pagesByNorm: Map[String, String] =
+    corpusRows.map(r => UrlOps.normalize(r.url) -> new String(r.html, "UTF-8")).toMap
+
+  private lazy val pagesDf = {
+    val s = spark; import s.implicits._
+    s.createDataset(corpusRows).toDF()
+  }
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"crawl-$tag").toString
+
+  private def settings = CrawlEngine.Settings(
+    bloomShards = 2, bloomExpectedPerShard = 10000L, bloomFpp = 0.01, saltBuckets = 8)
+
+  private def engineTrace(e: CrawlEngine): Seq[SequentialOracle.TraceRow] = {
+    e.trace().collect().map { r =>
+      SequentialOracle.TraceRow(
+        r.getAs[String]("jobId"), r.getAs[Long]("seq"), r.getAs[String]("url"),
+        r.getAs[String]("urlNorm"), r.getAs[Int]("depth"), r.getAs[Int]("attempt"),
+        r.getAs[Int]("status"))
+    }.toSeq.sortBy(t => (t.jobId, t.seq))
+  }
+
+  private def runBoth(cfg: CrawlConfig, robots: Map[String, String] = Map.empty)
+      : (Seq[SequentialOracle.TraceRow], SequentialOracle.Result, CrawlEngine) = {
+    val dir = tmpDir(cfg.jobId)
+    val engine = new CrawlEngine(spark, pagesDf, dir, robots, settings)
+    engine.run(Seq(cfg))
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg), robots)
+    (engineTrace(engine), oracle, engine)
+  }
+
+  private def assertTraceEqual(got: Seq[SequentialOracle.TraceRow], want: Seq[SequentialOracle.TraceRow]): Unit = {
+    val wantSorted = want.sortBy(t => (t.jobId, t.seq))
+    assert(got.map(t => (t.jobId, t.seq, t.urlNorm, t.depth, t.attempt, t.status)) ==
+      wantSorted.map(t => (t.jobId, t.seq, t.urlNorm, t.depth, t.attempt, t.status)))
+  }
+
+  test("default same-domain crawl matches the sequential oracle exactly") {
+    val cfg = CrawlConfig("j1", Seq("https://host0.example.test/p0.html"), limit = 40, maxDepth = 10)
+    val (got, oracle, engine) = runBoth(cfg)
+    assert(got.nonEmpty)
+    assertTraceEqual(got, oracle.trace)
+    // seen set identical
+    val engineSeen = engine.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(engineSeen == oracle.seen)
+    // progress identical
+    val p = engine.finalProgress("j1")
+    val op = oracle.progress("j1")
+    assert((p.enqueued, p.done, p.succeeded, p.failed) == ((op.enqueued, op.done, op.succeeded, op.failed)))
+    assert(p.finalized && op.finalized)
+  }
+
+  test("limit cuts mid-generation (EngineConfigurator.ts:92-119 analog)") {
+    val cfg = CrawlConfig("j2", Seq("https://host0.example.test/p0.html"), limit = 7)
+    val (got, oracle, engine) = runBoth(cfg)
+    assert(got.size == 7)
+    assertTraceEqual(got, oracle.trace)
+    assert(engine.finalProgress("j2").finalizeReason == "limit-reached")
+  }
+
+  test("max_depth cut") {
+    val cfg = CrawlConfig("j3", Seq("https://host0.example.test/p0.html"), limit = 5000, maxDepth = 2)
+    val (got, oracle, _) = runBoth(cfg)
+    assert(got.map(_.depth).max <= 2)
+    assertTraceEqual(got, oracle.trace)
+  }
+
+  test("same-hostname strategy restricts to the seed host") {
+    val cfg = CrawlConfig("j4", Seq("https://host1.example.test/p0.html"),
+      strategy = "same-hostname", limit = 5000)
+    val (got, oracle, _) = runBoth(cfg)
+    assert(got.forall(_.url.contains("host1.example.test")))
+    assertTraceEqual(got, oracle.trace)
+  }
+
+  test("include/exclude path globs and regex literals (Base.ts:327-353)") {
+    val cfg = CrawlConfig("j5", Seq("https://host0.example.test/p0.html"),
+      limit = 5000, excludePaths = Seq("**/p1*.html"))
+    val (got, oracle, _) = runBoth(cfg)
+    assert(!got.exists(t => t.url.matches(".*/p1\\d*\\.html") && t.depth > 0))
+    assertTraceEqual(got, oracle.trace)
+
+    val cfg2 = CrawlConfig("j5b", Seq("https://host0.example.test/p0.html"),
+      limit = 5000, includePaths = Seq("/\\/p[0-9]\\.html$/"))
+    val (got2, oracle2, _) = runBoth(cfg2)
+    assert(got2.filter(_.depth > 0).forall(_.url.matches(".*/p[0-9]\\.html")))
+    assertTraceEqual(got2, oracle2.trace)
+  }
+
+  test("hot-host politeness budget throttles per superstep") {
+    val cfg = CrawlConfig("j6", Seq("https://host0.example.test/p0.html"),
+      limit = 30, hostBudgetPerStep = 2)
+    val (got, oracle, engine) = runBoth(cfg)
+    assertTraceEqual(got, oracle.trace)
+    // no generation fetches more than 2 urls of one host
+    val perGenHost = engine.trace().collect()
+      .groupBy(r => (r.getAs[Int]("generation"), UrlOps.host(r.getAs[String]("url"))))
+      .view.mapValues(_.length)
+    assert(perGenHost.values.forall(_ <= 2))
+  }
+
+  test("robots.txt filtering as broadcast dimension (north rule)") {
+    val robots = SiteGen.robotsRows(nHosts).toMap
+    val cfg = CrawlConfig("j7", Seq("https://host0.example.test/p0.html"),
+      limit = 5000, respectRobots = true)
+    val (got, oracle, _) = runBoth(cfg, robots)
+    // host1 disallows /p1.html and /p3*
+    assert(!got.exists(t => t.url.contains("host1") &&
+      (t.url.endsWith("/p1.html") || t.url.matches(".*/p3\\d*\\.html"))))
+    assertTraceEqual(got, oracle.trace)
+  }
+
+  test("404 retries with attempt budget (Queue.ts:83-88 analog)") {
+    // corpus with a missing page: p1 links to it via a dead href
+    val s = spark; import s.implicits._
+    val rows = corpusRows
+    val deadHtml = """<html><head><title>D</title></head><body><a href="/missing.html">dead</a><a href="/p1.html">ok</a></body></html>"""
+    val custom = rows.map {
+      case r if r.url.endsWith("/p0.html") && r.url.contains("host0") =>
+        r.copy(html = deadHtml.getBytes("UTF-8"))
+      case r => r
+    }
+    val df = s.createDataset(custom).toDF()
+    val customByNorm = custom.map(r => UrlOps.normalize(r.url) -> new String(r.html, "UTF-8")).toMap
+    val cfg = CrawlConfig("j8", Seq("https://host0.example.test/p0.html"), limit = 50, maxAttempts = 3)
+    val dir = tmpDir("j8")
+    val engine = new CrawlEngine(s, df, dir, Map.empty, settings)
+    engine.run(Seq(cfg))
+    val got = engineTrace(engine)
+    val oracle = SequentialOracle.crawl(customByNorm, Seq(cfg))
+    assertTraceEqual(got, oracle.trace)
+    val missingAttempts = got.filter(_.url.endsWith("/missing.html"))
+    assert(missingAttempts.size == 3) // fetched 3 times then terminal-failed
+    assert(missingAttempts.map(_.attempt).sorted == Seq(0, 1, 2))
+    val p = engine.finalProgress("j8")
+    assert(p.failed == 1)
+  }
+
+  test("determinism: identical trace under different parallelism") {
+    val cfg = CrawlConfig("j9", Seq("https://host0.example.test/p0.html"), limit = 40)
+    val dirA = tmpDir("j9a"); val dirB = tmpDir("j9b")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    val ea = new CrawlEngine(spark, pagesDf.repartition(7), dirA, Map.empty, settings)
+    ea.run(Seq(cfg))
+    spark.conf.set("spark.sql.shuffle.partitions", "11")
+    val eb = new CrawlEngine(spark, pagesDf.repartition(2), dirB, Map.empty, settings)
+    eb.run(Seq(cfg))
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assertTraceEqual(engineTrace(ea), engineTrace(eb))
+  }
+
+  test("resume from checkpoint reproduces the uninterrupted run (kill at gen 2)") {
+    val cfg = CrawlConfig("j10", Seq("https://host0.example.test/p0.html"), limit = 40)
+    // uninterrupted
+    val dirFull = tmpDir("j10full")
+    val full = new CrawlEngine(spark, pagesDf, dirFull, Map.empty, settings)
+    full.run(Seq(cfg))
+    // interrupted after 2 generations
+    val dirCut = tmpDir("j10cut")
+    val cut = new CrawlEngine(spark, pagesDf, dirCut, Map.empty, settings.copy(maxGenerations = 2))
+    cut.run(Seq(cfg))
+    // resume to completion with a fresh engine instance
+    val resumed = new CrawlEngine(spark, pagesDf, dirCut, Map.empty, settings)
+    resumed.resume(Seq(cfg))
+    assertTraceEqual(engineTrace(resumed), engineTrace(full))
+    val pf = full.finalProgress("j10"); val pr = resumed.finalProgress("j10")
+    assert((pf.enqueued, pf.done, pf.succeeded, pf.failed) == ((pr.enqueued, pr.done, pr.succeeded, pr.failed)))
+  }
+
+  test("multi-job crawl keeps jobs independent") {
+    val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
+    val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
+      strategy = "same-hostname", limit = 10)
+    val dir = tmpDir("multi")
+    val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+    engine.run(Seq(cfgA, cfgB))
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfgA, cfgB))
+    assertTraceEqual(engineTrace(engine), oracle.trace)
+  }
+}
