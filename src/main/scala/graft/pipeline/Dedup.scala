@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines, over a
+ * `documents(doc_id, text, ...)` table.
+ *
+ * All operators are expressed as Catalyst Column pipelines (whole-stage
+ * codegen) except the simhash bit-mix, which is a typed map (per-row
+ * imperative bit math). Pair generation never cross-joins the corpus:
+ * candidates come from hash buckets (exact), LSH band buckets (minhash) or
+ * pigeonhole segments (simhash), so the shuffle volume is O(duplicates),
+ * not O(n²) — the property that makes these runnable at 100 TB.
+ */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle (hash-groupBy), keeps the
+    * lowest id per cluster. Returns the surviving rows. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val keep = df.withColumn("__h", h)
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-dup clusters: (content hash, cluster size, min id) for clusters
+    * with >1 member. */
+  def exactClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(lower(col(textCol))).as("content_md5"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keep_id"))
+      .filter(col("cluster_size") > 1)
+
+  /** Word n-gram shingles of `textCol` as an array column (codegen-friendly:
+    * split + sequence + transform, no UDF). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val tokens = split(lower(textCol), "\\W+")
+    val toks = filter(tokens, t => length(t) > 0)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /**
+   * MinHash signature: `numHashes` minima of seeded xxhash64 over the shingle
+   * set — pure Column expressions (`transform` + `array_min`), so the whole
+   * signature computation stays inside whole-stage codegen.
+   */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /**
+   * MinHash + LSH near-duplicate pairs (shingle -> minhash -> band ->
+   * bucket-join). Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+   * estimated Jaccard >= `threshold`.
+   *
+   * numHashes/bands control the S-curve; rowsPerBand = numHashes/bands.
+   * Candidate generation is an equi-join on (band, bucket) — duplicate-heavy
+   * buckets shuffle together, everything else is pruned before any pair is
+   * materialized.
+   */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .filter(size(col("sig")) === numHashes && !exists(col("sig"), v => v.isNull))
+
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit simhash of whitespace-tokenized text (pure function, used from a
+    * typed map — per-row bit math is the one place codegen can't help). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\W+").foreach { tok =>
+      if (tok.nonEmpty) {
+        var h = graft.fixtures.SiteGen.mix(0x5EEDL, tok.hashCode.toLong)
+        var i = 0
+        while (i < 64) {
+          if ((h & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          h >>>= 1
+          if (i == 62) h = graft.fixtures.SiteGen.mix(0xBEEFL, tok.hashCode.toLong) // refill bits
+          i += 1
+        }
+      }
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxDist, via pigeonhole
+   * banding: split the 64-bit hash into (maxDist+1) segments; any pair within
+   * distance maxDist agrees exactly on >=1 segment, so an equi-join per
+   * segment finds all candidates; `bit_count(xor)` verifies.
+   */
+  def simhashPairs(df: DataFrame, simhashCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val segs = maxDist + 1
+    val width = 64 / segs
+    val banded = df.select(
+      col(idCol).as("id"), col(simhashCol).as("sh"),
+      posexplode(array((0 until segs).map { s =>
+        shiftright(col(simhashCol), s * width).bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("seg", "segval")))
+    val a = banded.select(col("seg"), col("segval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("seg"), col("segval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("seg", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (id_a, id_b):
+    * set intersection over union on word n-gram shingle sets. */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold, candidates from
+    * random-hyperplane LSH buckets (see Similarity.hyperplaneSignature). */
+  def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, planes: Int = 16, seed: Long = 7L): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", Similarity.hyperplaneSignature(col("v"), planes, seed))
+    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosineCol(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

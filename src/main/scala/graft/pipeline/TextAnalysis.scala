@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation over
+ * `documents(doc_id, text, lang, ...)`. Everything is a Column expression
+ * (whole-stage codegen, pushdown-friendly); language-ID additionally ships a
+ * pure-Scala scorer for use inside kernels.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish token count: splits on word/number/punctuation boundaries the
+    * way byte-pair pre-tokenizers do (letters runs, digit runs, single
+    * punctuation marks each count). */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""), t => length(trim(t)) > 0))
+
+  /** Characters / alpha ratio / punct ratio / stopword ratio / mean word len
+    * -> a [0,1] quality score (heuristics in the C4/Gopher-rule family). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val nTok = size(tokens).cast("double")
+    val stop = size(filter(tokens, t => t.isin(stopwords: _*))).cast("double")
+    val alphaRatio = when(n > 0, alpha / n).otherwise(0.0)
+    val punctRatio = when(n > 0, punct / n).otherwise(0.0)
+    val stopRatio = when(nTok > 0, stop / nTok).otherwise(0.0)
+    val meanWordLen = when(nTok > 0, alpha / nTok).otherwise(0.0)
+    // weighted composite, clamped to [0, 1]
+    val raw = alphaRatio * 0.4 +
+      least(stopRatio * lit(2.0), lit(1.0)) * 0.3 +
+      when(punctRatio.between(0.005, 0.2), 1.0).otherwise(0.0) * 0.15 +
+      when(meanWordLen.between(2.0, 12.0), 1.0).otherwise(0.0) * 0.15
+    least(greatest(raw, lit(0.0)), lit(1.0))
+  }
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "this", "by", "from",
+    "be", "are", "was", "der", "die", "das", "und", "le", "la", "les", "et",
+    "el", "los", "de", "en", "un", "une")
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text —
+    * the cheap content-identity key (DuckDB-verifiable). */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing fingerprint (rolling Rabin-Karp hash, window-minima): a
+    * compact Set[Long] sketch for containment/overlap detection. Pure Scala
+    * (used from typed maps / kernels). */
+  def winnowing(text: String, k: Int = 8, window: Int = 16): Set[Long] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) return Set.empty
+    val B = 1000000007L
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow *= B; i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < s.length) {
+      h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    // window minima (classic winnowing selection)
+    val out = scala.collection.mutable.Set[Long]()
+    var w = 0
+    while (w + window <= hashes.length) {
+      var m = hashes(w); var j = 1
+      while (j < window) { if (hashes(w + j) < m) m = hashes(w + j); j += 1 }
+      out += m
+      w += 1
+    }
+    if (out.isEmpty) Set(hashes.min) else out.toSet
+  }
+
+  // ----------------------------------------------------------- language ID
+
+  /** Per-language marker profiles (tiny n-gram/stopword heuristic — the
+    * classic rank-profile approach shrunk to common markers). */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is ", " that ", "ing "),
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", " nicht ", "sch"),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " que ", " des "),
+    "es" -> Seq(" el ", " los ", " las ", " es ", " que ", " con ", "ción"),
+    "pt" -> Seq(" o ", " os ", " um ", " não ", " que ", "ção", " em "),
+    "ru" -> Seq(" и ", " в ", " не ", " на ", " что ", "ого", "ать"),
+    "ja" -> Seq("の", "は", "を", "に", "が", "した", "です"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Pure-Scala language classifier: best marker-hit score, "und" when no
+    * marker fires. */
+  def detectLanguage(text: String): String = {
+    val padded = " " + text.toLowerCase + " "
+    var best = "und"; var bestScore = 0
+    langMarkers.foreach { case (lang, markers) =>
+      var score = 0
+      markers.foreach { m =>
+        var idx = padded.indexOf(m)
+        while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + 1) }
+      }
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  /** Column-expression variant (codegen): marker counts via regexp, argmax
+    * via greatest + chained when. */
+  def detectLanguageCol(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(lang: String): Column =
+      langMarkers(lang).map { m =>
+        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length
+      }.reduce(_ + _)
+    val scored = langMarkers.keys.toSeq.sorted.map(l => struct(score(l).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+}

