@@ -1,13 +1,484 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.core.UrlOps
+import graft.engine.{CrawlEngine, CrawlConfig}
+import graft.serp.SerpTransforms
+
+/**
+ * Driver contract (SURVEY.md §7): one `queries` entry per implemented
+ * operator family, each with a DuckDB-equivalent `oracleSql` where the
+ * semantics are ANSI-SQL-expressible; rows-only entries otherwise (crawl BSP,
+ * LSH/minhash sketches, SERP parsing, multimodal plumbing — their correctness
+ * lives in the ScalaTest suites against sequential oracles and goldens).
+ *
+ * Every oracled query ends in a deterministic ORDER BY mirrored in the SQL,
+ * aggregates avoid order-dependent float accumulation (integral-valued
+ * doubles, counts, min/max, or round()ed derived values), and every computed
+ * column is aliased identically on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** sf factor parsed from the dir name ("…/sf0.01" -> 0.01); sizes the
+    * synthetic crawl/serp/media corpora so bench scales with sf. */
+  private def sfOf(dir: String): Double = {
+    val m = """sf([0-9.]+)""".r.findFirstMatchIn(dir)
+    m.map(_.group(1).toDouble).getOrElse(0.01)
+  }
+
+  // ------------------------------------------------------------- flagship
+  /** Flagship: the BSP crawl engine over a synthetic 300-page multi-host
+    * corpus — frontier scheduling, politeness, bloom seen-set, extraction —
+    * returning the canonical crawl trace. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = crawlTrace(spark, 300, 6, limit = 200)
+
+  private def crawlTrace(spark: SparkSession, pages: Int, hosts: Int, limit: Int): DataFrame = {
+    import spark.implicits._
+    val rows = graft.fixtures.SiteGen.rows(42L, pages, hosts).toSeq
+    val pagesDf = spark.createDataset(rows).toDF()
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    val eng = new CrawlEngine(spark, pagesDf, work,
+      robotsBodies = graft.fixtures.SiteGen.robotsRows(hosts).toMap,
+      settings = CrawlEngine.Settings(bloomExpectedPerShard = 100000L))
+    eng.run(Seq(CrawlConfig(
+      jobId = "flagship", seeds = Seq(graft.fixtures.SiteGen.pageUrl(0, 0)),
+      strategy = "all", maxDepth = 12, limit = limit,
+      hostBudgetPerStep = 64, respectRobots = true)))
+    eng.trace()
+  }
+
+  // ---------------------------------------------------------- query matrix
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (J1-J5, A1-A6, W1-W4, U1, P1) over TPC-H-ish data
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_region_orders" -> ((s, dir) => {
+      // dims are tiny -> broadcast joins, no shuffle of the orders fact
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          countDistinct(col("o_custkey")).as("customer_cnt"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q03_topk_per_segment" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    "q04_customers_no_orders" -> ((s, dir) => {
+      // anti-join (J2 seen-set shape): customers with no large order
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q05_parts_ordered" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q06_union_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .union(t(s, dir, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy(col("custkey"))
+    }),
+
+    "q07_status_classify" -> ((s, dir) => {
+      // P1 status-classifier shape: CASE WHEN routing, Catalyst-foldable
+      t(s, dir, "events")
+        .withColumn("bucket",
+          when(col("value") < 10, "low")
+            .when(col("value") < 100, "mid")
+            .otherwise("high"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    "q08_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+        .orderBy(col("hour"))
+    }),
+
+    "q09_politeness_topk" -> ((s, dir) => {
+      // the politeness/limit scheduling shape (W1/C2): top-2 per key by time
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("rn"), col("event_id"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    "q10_sessionize" -> ((s, dir) => {
+      // session = gap > 30 min (lag window; exact interval arithmetic)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("sessions"), count(lit(1)).as("events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- training-data pipeline: dedup / text analysis / fingerprints
+    "q11_dedup_exact" -> ((s, dir) => {
+      // exact hash-groupBy dedup; corpus UNION shifted-id copy plants one
+      // duplicate per doc so cluster semantics are exercised at every sf
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exactClusters(doubled, "text", "doc_id")
+        .select(col("content_md5"), col("cluster_size"), col("keep_id"))
+        .orderBy(col("content_md5"))
+    }),
+
+    "q12_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q13_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.tokenCountMatches(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q14_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q15_quality_scores" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q16_url_normalize" -> ((s, dir) => {
+      // crawl-dedup URL normalization (F1) over synthesized URLs whose
+      // normalized form is known by construction -> SQL-checkable
+      val s2 = s
+      import s2.implicits._
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://Host"), pmod(col("doc_id"), lit(40)), lit(".Example.Test:443/Path"),
+          pmod(col("doc_id"), lit(7)), lit("/page?b=2&utm_src=x&a=1#frag")).as("url"))
+      val normUdf = udf((u: String) => UrlOps.normalize(u))
+      val hostUdf = udf((u: String) => UrlOps.host(u))
+      urls.select(col("doc_id"), normUdf(col("url")).as("url_norm"), hostUdf(col("url")).as("host"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- similarity search over embeddings
+    "q17_ann_bruteforce" -> ((s, dir) => {
+      val df = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(Similarity.cosineToQuery(col("embedding"), annQuery), 4).as("score"))
+      df.orderBy(col("score").desc, col("vec_id").asc).limit(20)
+    }),
+
+    // ---- rows-only (non-SQL-expressible; ScalaTest oracles cover them)
+    "q18_minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q19_simhash_pairs" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val withSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, Dedup.simhash64(text)) }
+        .toDF("doc_id", "simhash")
+      Dedup.simhashPairs(withSh, "simhash", "doc_id", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q21_embedding_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup via hyperplane-LSH buckets; corpus UNION
+      // shifted-id copy plants cos=1.0 pairs (identical vectors always share
+      // every bucket, so LSH recall on the planted set is exactly 1)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val doubled = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.embeddingCosinePairs(doubled, "embedding", "vec_id",
+          threshold = 0.95, planes = 12)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q22_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+          annQuery, k = 20, planes = 12, probeRadius = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
+
+    "q23_serp_parse" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val n = math.max(20, (sfOf(dir) * 2000).toInt)
+      val pages = s.createDataset((0 until n).map { i =>
+        SerpTransforms.SerpPage("google", s"query ${i % 7}", i % 3 + 1,
+          graft.fixtures.SerpGen.googleHtml(42L + i, 8))
+      })
+      SerpTransforms.parseAll(s, pages).toDF()
+        .select(col("query"), col("page"), col("position"), col("category"),
+          col("title"), col("url"), col("description"), col("source"))
+        .orderBy(col("query"), col("page"), col("position"), col("url"))
+    }),
+
+    "q24_crawl_bsp" -> ((s, dir) => {
+      val pages = math.max(200, (sfOf(dir) * 20000).toInt)
+      crawlTrace(s, pages, 8, limit = pages / 2)
+    }),
+
+    "q25_multimodal_features" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val n = math.max(100, (sfOf(dir) * 20000).toInt)
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, n), dim = 16)
+      Multimodal.sampleFrameIndexes(feats.toDF(), "frames", 4)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("bytes")).as("total_bytes"),
+          sum(col("frames").cast("long")).as("total_frames"),
+          sum(size(col("sampled_frames")).cast("long")).as("total_sampled"))
+        .orderBy(col("modality"))
+    }),
+
+    "q26_langid" -> ((s, dir) => {
+      // n-gram language-ID vs the table's lang label: agreement matrix
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.detectLanguageCol(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred"))
+    })
+  )
+
+  /** Deterministic ANN query vector (dim 64, values in [-0.9, 0.9]). */
+  private val annQuery: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
+
+  private val annQuerySqlList: String =
+    annQuery.map(d => f"$d%.1f").mkString("[", ", ", "]")
+
+  private val stopwordsSqlList: String =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // --------------------------------------------------------------- oracles
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS cnt,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_region_orders" ->
+      """SELECT r_name,
+        |  count(*) AS order_cnt,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS customer_cnt,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q03_topk_per_segment" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q04_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_parts_ordered" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q06_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+
+    "q07_status_classify" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS bucket,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q08_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  count(*) AS cnt,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_politeness_topk" ->
+      """SELECT user_id, rn, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) x
+        |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin,
+
+    "q10_sessionize" ->
+      """SELECT user_id,
+        |  CAST(sum(new_sess) AS BIGINT) AS sessions,
+        |  count(*) AS events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |    FROM events) a) b
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """SELECT md5(lower(text)) AS content_md5,
+        |  count(*) AS cluster_size,
+        |  min(doc_id) AS keep_id
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY content_md5""".stripMargin,
+
+    "q12_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q13_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q14_lang_stats" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q15_quality_scores" ->
+      s"""SELECT doc_id, round(least(greatest(
+         |    alpha_ratio * 0.4 +
+         |    least(stop_ratio * 2.0, 1.0) * 0.3 +
+         |    (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
+         |    (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.15,
+         |  0.0), 1.0), 4) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN n > 0 THEN punct / n ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN n_tok > 0 THEN alpha / n_tok ELSE 0.0 END AS mean_word_len
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) AS DOUBLE) AS n,
+         |      CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+         |      CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         |      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_tok,
+         |      CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+         |               x -> list_contains($stopwordsSqlList, x))) AS DOUBLE) AS stop
+         |    FROM documents) raw) ratios
+         |ORDER BY doc_id""".stripMargin,
+
+    "q16_url_normalize" ->
+      """SELECT doc_id,
+        |  'https://host' || (doc_id % 40) || '.example.test/Path' || (doc_id % 7) || '/page?a=1&b=2' AS url_norm,
+        |  'host' || (doc_id % 40) || '.example.test' AS host
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_ann_bruteforce" ->
+      s"""SELECT vec_id, round(list_cosine_similarity(
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |    $annQuerySqlList), 4) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // identical vectors share every LSH bucket, so the LSH candidate pass has
+    // recall 1.0 on the planted cos=1 pairs and the brute-force SQL is an
+    // exact oracle (no natural pair reaches cosine 0.95 in this corpus)
+    "q21_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id + 100000, embedding FROM embeddings))
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -69,9 +69,23 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    // Materialize the signature once and cache it: Catalyst's project
+    // collapsing would otherwise inline the full shingle pipeline into each
+    // of the `numHashes` hash lanes AND recompute it for both sides of the
+    // LSH self-join (a ~1 MB codegen'd stage executed 2x per row). The
+    // cached frame is tiny — (id, numHashes longs) — and at warehouse scale
+    // it is the table you'd persist as the signature index anyway.
+    // The shingle cache is load-bearing: without it, ProjectCollapsing
+    // inlines the shingle pipeline into every one of the `numHashes` hash
+    // lanes (measured 30x slowdown at 32 hashes).
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val sig = sh
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .filter(size(col("sig")) === numHashes && !exists(col("sig"), v => v.isNull))
+      .cache()
 
     val banded = sig.select(
       col("id"), col("sig"),
@@ -143,8 +157,19 @@ object Dedup {
     * set intersection over union on word n-gram shingle sets. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
+    // Shingle only the docs that appear in a candidate pair (semi-join
+    // prune) and cache: both join sides reuse one computation, and at scale
+    // the shuffled shingle volume is O(candidates), not O(corpus). The
+    // candidate set itself is referenced three times (id prune + two joins),
+    // so cache it too — it is typically the output of an LSH pass that is
+    // expensive to recompute.
+    val p = pairs.cache()
+    val ids = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    pairs
+      .join(ids, Seq("id"), "left_semi")
+      .cache()
+    p
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -159,6 +184,7 @@ object Dedup {
       threshold: Double = 0.95, planes: Int = 16, seed: Long = 7L): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.hyperplaneSignature(col("v"), planes, seed))
+      .cache() // reused by both sides of the bucket self-join
     val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("sig"))

@@ -21,6 +21,12 @@ object TextAnalysis {
   def tokenCountBpe(text: Column): Column =
     size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""), t => length(trim(t)) > 0))
 
+  /** BPE-ish token count via match extraction (letter/digit runs + single
+    * non-space symbols). Lookaround-free, so the same pattern runs under both
+    * Java regex and RE2 — the DuckDB-verifiable variant of [[tokenCountBpe]]. */
+  def tokenCountMatches(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"""), lit(0)))
+
   /** Characters / alpha ratio / punct ratio / stopword ratio / mean word len
     * -> a [0,1] quality score (heuristics in the C4/Gopher-rule family). */
   def qualityScore(text: Column): Column = {
@@ -42,7 +48,7 @@ object TextAnalysis {
     least(greatest(raw, lit(0.0)), lit(1.0))
   }
 
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "this", "by", "from",
     "be", "are", "was", "der", "die", "das", "und", "le", "la", "les", "et",
     "el", "los", "de", "en", "un", "une")
