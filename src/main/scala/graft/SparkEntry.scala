@@ -307,6 +307,49 @@ object SparkEntry {
         .orderBy(col("modality"))
     }),
 
+    "q27_serp_url_plan" -> ((s, dir) => {
+      // F11 task-URL builder over a query table; output is known by
+      // construction -> SQL-checkable
+      val build = udf((q: String, page: Int) => graft.serp.GoogleSerp.buildSearchUrl(
+        graft.serp.GoogleSerp.SearchOptions(query = q, page = page, limit = 10)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("query "), pmod(col("doc_id"), lit(7))).as("query"),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int").as("page"))
+        .withColumn("task_url", build(col("query"), col("page")))
+        .select(col("doc_id"), col("query"), col("page").cast("long").as("page"), col("task_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q28_scrape_enrich" -> ((s, dir) => {
+      // J5 enrichment kernel as a distributed Dataset transform over the
+      // synthetic corpus (join side of search->scrape merge)
+      val n = math.max(100, (sfOf(dir) * 10000).toInt)
+      val rows = graft.fixtures.SiteGen.rows(42L, n, 8).toSeq
+      val s2 = s
+      import s2.implicits._
+      val pages = s.createDataset(rows).toDF()
+      graft.api.Graft.enrich(s, pages)
+        .select(col("url"), length(col("scraped_title")).cast("long").as("title_len"),
+          length(col("scraped_markdown")).cast("long").as("md_len"),
+          length(col("scraped_text")).cast("long").as("text_len"))
+        .orderBy(col("url"))
+    }),
+
+    "q29_robots_filter" -> ((s, dir) => {
+      // C3/robots gate over synthesized paths; the fixture disallows
+      // /p1.html and /p3* for host1 -> allowed is known by construction
+      val rules = graft.core.Robots.parse(
+        "User-agent: *\nDisallow: /p1.html\nDisallow: /p3*\n")
+      val allowed = udf((u: String) => graft.core.Robots.allowedUrl(rules, "graftbot", u))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://host1.example.test/p"), pmod(col("doc_id"), lit(10)), lit(".html")).as("url"))
+        .withColumn("allowed", allowed(col("url")))
+        .select(col("doc_id"), col("url"), col("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q26_langid" -> ((s, dir) => {
       // n-gram language-ID vs the table's lang label: agreement matrix
       t(s, dir, "documents")
@@ -466,6 +509,21 @@ object SparkEntry {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
          |    $annQuerySqlList), 4) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "q27_serp_url_plan" ->
+      """SELECT doc_id,
+        |  'query ' || (doc_id % 7) AS query,
+        |  (doc_id % 3) + 1 AS page,
+        |  'https://www.google.com/search?q=query+' || (doc_id % 7) ||
+        |  '&start=' || ((doc_id % 3) * 10) ||
+        |  '&hl=en-US&lr=lang_en&cr=countryUS&ie=utf8&oe=utf8&filter=0&num=10' AS task_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_robots_filter" ->
+      """SELECT doc_id,
+        |  'https://host1.example.test/p' || (doc_id % 10) || '.html' AS url,
+        |  (doc_id % 10) NOT IN (1, 3) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical vectors share every LSH bucket, so the LSH candidate pass has
     // recall 1.0 on the planted cos=1 pairs and the brute-force SQL is an

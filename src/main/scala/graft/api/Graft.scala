@@ -1,0 +1,120 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Extractor
+import graft.engine.{CrawlConfig, CrawlEngine}
+import graft.serp.{GoogleSerp, SerpRow, SerpTransforms}
+
+/**
+ * The user-facing API surface — the Spark-native analog of the reference's
+ * three endpoints (`apps/api/src/routers/v1/index.ts:12-19`):
+ *
+ *   POST /v1/scrape  -> [[Graft.scrape]]   (§3.1: single-page sync)
+ *   POST /v1/crawl   -> [[Graft.crawl]]    (§3.2: BSP frontier crawl)
+ *   POST /v1/search  -> [[Graft.search]]   (§3.3: SERP + optional scrape fan-out)
+ *
+ * A reference user switches by replacing HTTP calls with these library
+ * calls; job state (the reference's Redis/Postgres) is the returned
+ * DataFrames + the engine's checkpoint manifests.
+ */
+object Graft {
+
+  final case class ScrapeResult(
+      url: String, status: Int, success: Boolean, title: String,
+      markdown: String, text: String, htmlClean: String,
+      metadata: Seq[Extractor.MetaEntry], links: Seq[String])
+
+  /**
+   * Scrape: fetch one url from the pages corpus and extract the requested
+   * formats (ScrapeController.ts:11-116 without the queue round-trip — a
+   * single-row path needs no Spark job at all; the corpus lookup is a
+   * predicate-pushed point read).
+   */
+  def scrape(spark: SparkSession, pages: DataFrame, url: String,
+      formats: Extractor.Formats = Extractor.Formats(),
+      cleanOpts: graft.core.Cleaner.Options = graft.core.Cleaner.Options()): ScrapeResult = {
+    val norm = graft.core.UrlOps.normalize(url)
+    // point read: pushdown-friendly equality filter on the url column
+    val row = pages.filter(col("url") === norm || col("url") === url)
+      .select(col("url"), col("html")).limit(1).collect().headOption
+    row match {
+      case Some(r) =>
+        val html = new String(r.getAs[Array[Byte]]("html"), java.nio.charset.StandardCharsets.UTF_8)
+        val ex = Extractor.extract(url, html, formats, cleanOpts)
+        ScrapeResult(url, 200, success = true, ex.title, ex.markdown.getOrElse(""),
+          ex.text.getOrElse(""), ex.html.getOrElse(""), ex.metadata, ex.links)
+      case None =>
+        ScrapeResult(url, 404, success = false, "", "", "", "", Nil, Nil)
+    }
+  }
+
+  /** Crawl: run the BSP engine; returns the canonical trace DataFrame.
+    * (CrawlController.ts:15-88 + the whole Worker/Progress subsystem.) */
+  def crawl(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig, workDir: String,
+      robots: Map[String, String] = Map.empty,
+      settings: CrawlEngine.Settings = CrawlEngine.Settings()): (DataFrame, CrawlEngine) = {
+    val engine = new CrawlEngine(spark, pages, workDir, robots, settings)
+    engine.run(Seq(cfg))
+    (engine.trace(), engine)
+  }
+
+  final case class SearchRequest(
+      query: String,
+      limit: Int = 10,
+      offset: Int = 0,
+      pages: Int = 1,
+      lang: Option[String] = None,
+      scrapeResults: Boolean = false)
+
+  /**
+   * Search: plan task URLs (F11), join the SERP corpus, parse typed rows
+   * (F12), optionally enrich each result with scraped page data (J5:
+   * SearchController.ts:184-201 — the Map-lookup merge becomes an equi left
+   * join on url), and apply the final ordered limit (W3).
+   */
+  def search(spark: SparkSession, serpPages: Dataset[SerpTransforms.SerpPage],
+      req: SearchRequest, scrapeCorpus: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val parsed: Dataset[SerpRow] = SerpTransforms.parseAll(spark,
+      serpPages.filter(p => p.query == req.query))
+    val limited = parsed.toDF()
+      .orderBy(col("page"), col("position"))
+      .limit(req.limit)
+    if (!req.scrapeResults || scrapeCorpus.isEmpty) limited
+    else {
+      // J5 enrichment: scrape each SERP url found in the corpus
+      val scraped = enrich(spark, scrapeCorpus.get)
+      limited.join(scraped, Seq("url"), "left")
+    }
+  }
+
+  /** Extraction projection of a pages corpus keyed by url — the join target
+    * for search enrichment (one kernel pass, reusable). */
+  def enrich(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (url, html) =>
+          val ex = Extractor.extract(url, new String(html, java.nio.charset.StandardCharsets.UTF_8))
+          (url, ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""))
+        }
+      }
+      .toDF("url", "scraped_title", "scraped_markdown", "scraped_text")
+  }
+
+  /** Task-URL planning for live deployments (F11/W3): one row per
+    * (query, page) with the engine-specific request URL. */
+  def planSearch(spark: SparkSession, queries: Seq[GoogleSerp.SearchOptions]): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { o =>
+      val perPage = math.min(math.max(o.limit, 1), 100)
+      val effectivePages = math.max(1, math.ceil(o.limit.toDouble / perPage).toInt)
+      (1 to effectivePages).map { p =>
+        val opts = o.copy(page = p)
+        (o.query, p, GoogleSerp.buildSearchUrl(opts))
+      }
+    }.toDF("query", "page", "task_url")
+  }
+}

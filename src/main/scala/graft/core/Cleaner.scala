@@ -67,10 +67,25 @@ object Cleaner {
     val chains = selectors.flatMap(Selector.parseSelector)
     // Single-pass removal: every selector in the reference's list (and the
     // option surface) is a simple selector, so a predicate test per element
-    // suffices — O(elements × selectors) with no re-walks.
+    // suffices — O(elements × selectors) with no re-walks. Multi-part chains
+    // (possible via user exclude_tags) are resolved to an identity set once,
+    // up front, not per element.
+    val singles: Array[Selector.Simple] =
+      chains.collect { case ch if ch.parts.length == 1 => ch.parts.head._2 }.toArray
+    val multis = chains.filter(_.parts.length > 1)
+    val multiMatched: java.util.IdentityHashMap[Html.Elem, java.lang.Boolean] =
+      if (multis.isEmpty) null
+      else {
+        val m = new java.util.IdentityHashMap[Html.Elem, java.lang.Boolean]()
+        multis.foreach(ch => Html.select(doc, renderChain(ch)).foreach(e => m.put(e, java.lang.Boolean.TRUE)))
+        m
+      }
     Html.removeWhere(doc) { e =>
-      chains.exists(ch => ch.parts.length == 1 && ch.parts.head._2.matches(e)) ||
-      chains.exists(ch => ch.parts.length > 1 && Html.select(doc, renderChain(ch)).contains(e))
+      {
+        var i = 0; var hit = false
+        while (i < singles.length && !hit) { hit = singles(i).matches(e); i += 1 }
+        hit
+      } || (multiMatched != null && multiMatched.containsKey(e))
     }
   }
 

@@ -320,7 +320,7 @@ object Html {
   /** Remove every element for which `pred` is true (children go with it). */
   def removeWhere(root: Elem)(pred: Elem => Boolean): Unit = {
     def go(e: Elem): Unit = {
-      e.children = e.children.filter {
+      e.children.filterInPlace {
         case el: Elem => !pred(el)
         case _        => true
       }
@@ -332,10 +332,25 @@ object Html {
   /** Remove all comment nodes (HTMLTransformer.ts:137-139). */
   def removeComments(root: Elem): Unit = {
     def go(e: Elem): Unit = {
-      e.children = e.children.filter { case _: Comment => false; case _ => true }
+      e.children.filterInPlace { case _: Comment => false; case _ => true }
       e.children.foreach { case el: Elem => go(el); case _ => }
     }
     go(root)
+  }
+
+  /** Whitespace-delimited token membership (class-attribute semantics)
+    * without allocation. */
+  def containsToken(s: String, token: String): Boolean = {
+    if (token.isEmpty) return false
+    var i = 0
+    val n = s.length; val m = token.length
+    while (i <= n - m) {
+      if (s.startsWith(token, i) &&
+          (i == 0 || Character.isWhitespace(s.charAt(i - 1))) &&
+          (i + m == n || Character.isWhitespace(s.charAt(i + m)))) return true
+      i += 1
+    }
+    false
   }
 
   /** First element matching selector, cheerio `$(sel).first()`. */
@@ -359,7 +374,14 @@ object Selector {
     def matches(e: Html.Elem): Boolean =
       tag.forall(t => t == "*" || e.tag == t) &&
       id.forall(i => e.id.contains(i)) &&
-      classes.forall(c => e.classes.contains(c)) &&
+      (classes.isEmpty || {
+        // hot path of the 46-selector cleaning sweep: token-scan the class
+        // attribute instead of materializing a Set per (element, selector)
+        e.attr("class") match {
+          case Some(cls) => classes.forall(c => Html.containsToken(cls, c))
+          case None      => false
+        }
+      }) &&
       attrs.forall { case (k, vOpt) =>
         e.attr(k) match {
           case Some(v) => vOpt.forall(_ == v)

@@ -58,9 +58,11 @@ object Markdown {
     out
   }
 
-  /** turndown `process`: reduce children joining with newline collapsing. */
+  /** turndown `process`: reduce children joining with newline collapsing.
+    * Accumulates into a StringBuilder — the naive fold
+    * (`reverse.dropWhile.reverse` per child) is quadratic in document size. */
   private def processChildren(e: Html.Elem, ancestors: List[Html.Elem]): String = {
-    var output = ""
+    val sb = new StringBuilder
     e.children.foreach { child =>
       val piece = child match {
         case Html.Text(t) =>
@@ -68,16 +70,23 @@ object Markdown {
         case el: Html.Elem => replacementFor(el, ancestors)
         case _ => ""
       }
-      output = join(output, piece)
+      joinInto(sb, piece)
     }
-    output
+    sb.toString
   }
 
-  private def join(a: String, b: String): String = {
-    val s1 = a.reverse.dropWhile(_ == '\n').reverse
-    val s2 = b.dropWhile(_ == '\n')
-    val nls = math.min(2, math.max(a.length - s1.length, b.length - s2.length))
-    s1 + ("\n" * nls) + s2
+  /** join(a, b): strip a's trailing + b's leading newlines, reinsert
+    * min(2, max(stripped-from-a, stripped-from-b)). */
+  private def joinInto(sb: StringBuilder, b: String): Unit = {
+    var trail = 0
+    while (trail < sb.length && sb.charAt(sb.length - 1 - trail) == '\n') trail += 1
+    var lead = 0
+    while (lead < b.length && b.charAt(lead) == '\n') lead += 1
+    sb.setLength(sb.length - trail)
+    val nls = math.min(2, math.max(trail, lead))
+    var i = 0
+    while (i < nls) { sb.append('\n'); i += 1 }
+    if (lead == 0) sb.append(b) else sb.append(b.substring(lead))
   }
 
   /** turndown `replacementForNode` incl. flanking whitespace for inline nodes. */
@@ -96,14 +105,26 @@ object Markdown {
 
   private def isBlank(node: Html.Elem): Boolean = {
     if (Html.voidElements.contains(node.tag) || meaningfulWhenBlank.contains(node.tag)) return false
-    if (node.text.trim.nonEmpty) return false
-    // any void or meaningful descendant makes it non-blank
-    var meaningful = false
-    Html.walk(node) { e =>
-      if (e != node && (Html.voidElements.contains(e.tag) || meaningfulWhenBlank.contains(e.tag)))
-        meaningful = true
+    // early-exit subtree scan: any non-blank text or void/meaningful
+    // descendant makes it non-blank (no subtree-text materialization)
+    def scan(e: Html.Elem): Boolean = { // true => non-blank
+      val it = e.children.iterator
+      while (it.hasNext) it.next() match {
+        case Html.Text(t) => if (hasNonWs(t)) return true
+        case el: Html.Elem =>
+          if (Html.voidElements.contains(el.tag) || meaningfulWhenBlank.contains(el.tag)) return true
+          if (scan(el)) return true
+        case _ =>
+      }
+      false
     }
-    !meaningful
+    !scan(node)
+  }
+
+  private def hasNonWs(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (!Character.isWhitespace(s.charAt(i))) return true; i += 1 }
+    false
   }
 
   private def applyRule(node: Html.Elem, content: String, ancestors: List[Html.Elem]): String = {
@@ -281,8 +302,21 @@ object Markdown {
 
   // -------------------------------------------------------------- escaping
 
-  /** turndown default escapes. */
+  /** turndown default escapes. The guard scan skips the 13 regex passes for
+    * plain prose (the overwhelmingly common case). */
   def escapeMd(s: String): String = {
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      // every char that any escape rule below can trigger on
+      needs = c == '\\' || c == '*' || c == '-' || c == '+' || c == '=' ||
+        c == '#' || c == '`' || c == '~' || c == '[' || c == ']' ||
+        c == '>' || c == '_' ||
+        (c == '.' && i > 0 && Character.isDigit(s.charAt(i - 1)))
+      i += 1
+    }
+    if (!needs) return s
     var t = s
     t = t.replace("\\", "\\\\")
     t = t.replace("*", "\\*")

@@ -57,7 +57,8 @@ final case class CrawlConfig(
     respectRobots: Boolean = false,
     userAgent: String = "graftbot",
     maxAttempts: Int = 3,                       // BullMQ budget (Queue.ts:83)
-    formats: Extractor.Formats = Extractor.Formats()) {
+    formats: Extractor.Formats = Extractor.Formats(),
+    filterAdDomains: Boolean = false) {         // P7 (EngineConfigurator.ts:166-190)
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */
@@ -65,11 +66,27 @@ final case class CrawlConfig(
   lazy val seedDomains: Set[String] = seeds.map(UrlOps.registrableDomain).toSet
   lazy val seedOrigins: Set[String] = seeds.map(UrlOps.origin).toSet
 
-  def inScope(url: String): Boolean = strategy match {
+  def inScope(url: String): Boolean = (strategy match {
     case "all" => true
     case "same-hostname" => seedHosts.contains(UrlOps.host(url))
     case "same-origin" => seedOrigins.contains(UrlOps.origin(url))
     case _ => seedDomains.contains(UrlOps.registrableDomain(url)) // same-domain
+  }) && (!filterAdDomains || !CrawlConfig.isAdUrl(url))
+}
+
+object CrawlConfig {
+  /** Common ad/tracking domains (the shape of the reference's blocklist at
+    * libs/src/constants.ts:4-18 — a data list, re-derived from public
+    * knowledge of ubiquitous ad hosts). */
+  val AdDomains: Set[String] = Set(
+    "doubleclick.net", "googlesyndication.com", "googleadservices.com",
+    "google-analytics.com", "googletagmanager.com", "adnxs.com",
+    "adsrvr.org", "amazon-adsystem.com", "criteo.com", "taboola.com",
+    "outbrain.com", "scorecardresearch.com", "quantserve.com")
+
+  def isAdUrl(url: String): Boolean = {
+    val d = UrlOps.registrableDomain(url)
+    d.nonEmpty && AdDomains.contains(d)
   }
 }
 

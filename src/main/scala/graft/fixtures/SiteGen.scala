@@ -149,6 +149,77 @@ object SiteGen {
     }
   }
 
+  // ------------------------------------------------- wide benchmark corpus
+
+  /** Out-hrefs of the wide site: `branching`-ary tree within the host plus a
+    * cross-host edge every 7th page (shallow: depth ~ log_b(perHost)). */
+  def wideOutHrefs(hostIdx: Int, page: Int, perHost: Int, nHosts: Int, branching: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var c = page * branching + 1
+    val end = math.min(page * branching + branching, perHost - 1)
+    while (c <= end) { out += s"/p$c.html"; c += 1 }
+    if (page % 7 == 0 && nHosts > 1) {
+      val target = (hostIdx + 1 + page % (nHosts - 1)) % nHosts
+      if (target != hostIdx) out += s"https://${hostName(target)}/p0.html"
+    }
+    out.result()
+  }
+
+  /** Benchmark page: same structural elements as [[pageHtml]] but with
+    * `paragraphs` body paragraphs (~Common-Crawl-sized documents), so the
+    * extraction kernel — not superstep bookkeeping — dominates crawl cost. */
+  def widePageHtml(seed: Long, hostIdx: Int, page: Int, perHost: Int, nHosts: Int,
+      branching: Int, paragraphs: Int): String = {
+    val h = mixStr(seed, pageUrl(hostIdx, page))
+    def w(k: Int): String = pick(wordBank, mix(h, k.toLong))
+    val title = s"${w(1).capitalize} ${w(2)} $page"
+    val sb = new StringBuilder(paragraphs * 320 + 2048)
+    sb.append("<!DOCTYPE html><html><head>")
+    sb.append(s"<title>$title</title>")
+    sb.append(s"""<meta name="description" content="${w(3)} ${w(4)} ${w(5)}">""")
+    sb.append("</head><body>")
+    sb.append(s"""<header><nav><a href="/p0.html">home</a></nav></header>""")
+    sb.append(s"<h1>$title</h1>")
+    var p = 0
+    while (p < paragraphs) {
+      val hp = mix(h, 1000L + p)
+      sb.append("<p>")
+      var k = 0
+      while (k < 40) {
+        sb.append(pick(wordBank, mix(hp, k.toLong)))
+        if (k % 9 == 4) sb.append(" <em>").append(pick(wordBank, mix(hp, 100L + k))).append("</em>")
+        sb.append(if (k == 39) "." else " ")
+        k += 1
+      }
+      sb.append("</p>")
+      if (p % 11 == 3)
+        sb.append(s"<ul><li>${w(p)} ${w(p + 1)}</li><li>${w(p + 2)} ${w(p + 3)}</li></ul>")
+      p += 1
+    }
+    sb.append("<div>")
+    wideOutHrefs(hostIdx, page, perHost, nHosts, branching).zipWithIndex.foreach { case (href, i) =>
+      sb.append(s"""<a href="$href">${w(30 + i)} link $i</a> """)
+    }
+    sb.append("</div>")
+    sb.append(s"""<footer>(c) ${hostName(hostIdx)}</footer>""")
+    sb.append("<script>track()</script>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** One wide-site row by flat index (executor-side generation: callers map
+    * `spark.range(n)` through this — no driver-side corpus materialization). */
+  def wideRow(seed: Long, idx: Long, perHost: Int, nHosts: Int,
+      branching: Int, paragraphs: Int): PageRow = {
+    val hostIdx = (idx / perHost).toInt
+    val page = (idx % perHost).toInt
+    val url = pageUrl(hostIdx, page)
+    val html = widePageHtml(seed, hostIdx, page, perHost, nHosts, branching, paragraphs)
+    val h = mixStr(seed, url)
+    PageRow(url, new java.sql.Timestamp(1700000000000L + (((h % 86400000L) + 86400000L) % 86400000L)),
+      html.getBytes("UTF-8"), TextExtract.fromHtml(html), pick(langs, mix(h, 7)))
+  }
+
   /** robots fixture (FIXTURES.md §4): host1 disallows its odd subtree,
     * host2 sets a crawl-delay, everyone else wide open. */
   def robotsRows(nHosts: Int): Seq[(String, String)] =

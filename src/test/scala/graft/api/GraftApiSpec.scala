@@ -1,0 +1,78 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.fixtures.{SerpGen, SiteGen}
+import graft.serp.SerpTransforms
+import graft.engine.CrawlConfig
+
+class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val corpus = SiteGen.rows(42L, 60, 3).toSeq
+  private lazy val pagesDf = {
+    val s = spark; import s.implicits._
+    s.createDataset(corpus).toDF()
+  }
+
+  test("scrape: corpus point read + full extraction (ScrapeController path)") {
+    val url = SiteGen.pageUrl(0, 4)
+    val r = Graft.scrape(spark, pagesDf, url)
+    val ex = graft.core.Extractor.extract(url, new String(corpus.find(_.url == url).get.html, "UTF-8"))
+    assert(r.status == 200 && r.success)
+    assert(r.title == ex.title && r.markdown == ex.markdown.getOrElse("") &&
+      r.text == ex.text.getOrElse("") && r.links == ex.links)
+  }
+
+  test("scrape: missing url -> 404 failure row (Base.ts status classifier)") {
+    val r = Graft.scrape(spark, pagesDf, "https://host0.example.test/nope.html")
+    assert(r.status == 404 && !r.success && r.markdown.isEmpty)
+  }
+
+  test("search: parse + ordered limit + J5 enrichment left join") {
+    val s = spark; import s.implicits._
+    val serp = s.createDataset(Seq(
+      SerpTransforms.SerpPage("google", "q1", 1, SerpGen.googleHtml(7L, 10)),
+      SerpTransforms.SerpPage("google", "q1", 2, SerpGen.googleHtml(8L, 10)),
+      SerpTransforms.SerpPage("google", "q2", 1, SerpGen.googleHtml(9L, 10))))
+    val plain = Graft.search(spark, serp, Graft.SearchRequest("q1", limit = 5))
+    val rows = plain.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Int]("page")).toSeq.sorted == rows.map(_.getAs[Int]("page")).toSeq)
+
+    // enrichment joins scraped columns by url (nulls when not in corpus)
+    val enriched = Graft.search(spark, serp, Graft.SearchRequest("q1", limit = 5, scrapeResults = true),
+      scrapeCorpus = Some(pagesDf))
+    assert(enriched.columns.contains("scraped_markdown"))
+    assert(enriched.count() == 5)
+  }
+
+  test("planSearch: pagination fan-out (W3: start = offset + (page-1)*perPage)") {
+    val plan = Graft.planSearch(spark, Seq(
+      graft.serp.GoogleSerp.SearchOptions(query = "spark", limit = 25)))
+    val rows = plan.collect().sortBy(_.getAs[Int]("page"))
+    assert(rows.length == 1) // perPage=25 -> 1 page
+    val plan2 = Graft.planSearch(spark, Seq(
+      graft.serp.GoogleSerp.SearchOptions(query = "spark", limit = 10, page = 1)))
+    assert(plan2.collect().head.getAs[String]("task_url").contains("num=10"))
+  }
+
+  test("ad-domain filter (P7): blocks known ad hosts, passes content hosts") {
+    assert(CrawlConfig.isAdUrl("https://ads.doubleclick.net/x"))
+    assert(CrawlConfig.isAdUrl("https://www.googlesyndication.com/tag.js"))
+    assert(!CrawlConfig.isAdUrl("https://host0.example.test/p0.html"))
+    val cfg = CrawlConfig(jobId = "j", seeds = Seq("https://a.test/"),
+      strategy = "all", filterAdDomains = true)
+    assert(!cfg.inScope("https://stats.google-analytics.com/collect"))
+    assert(cfg.inScope("https://b.test/page"))
+  }
+}
