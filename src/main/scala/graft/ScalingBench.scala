@@ -43,7 +43,10 @@ object ScalingBench {
   private def session(cores: Int): SparkSession =
     SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", 32) // identical plan at both sizes
+      // identical plan at both core counts; 4x over-decomposition packs the
+      // 32-core run's stages without stragglers idling whole waves
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "128").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

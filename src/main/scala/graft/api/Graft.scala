@@ -104,6 +104,11 @@ object Graft {
       .toDF("url", "scraped_title", "scraped_markdown", "scraped_text")
   }
 
+  /** Results pagination (W4: CrawlController.ts:228-239 skip/limit over
+    * job_results, default page size 100): ordered by canonical seq. */
+  def crawlResults(trace: DataFrame, offset: Int = 0, limit: Int = 100): DataFrame =
+    trace.orderBy(col("jobId"), col("seq")).offset(offset).limit(limit)
+
   /** Task-URL planning for live deployments (F11/W3): one row per
     * (query, page) with the engine-specific request URL. */
   def planSearch(spark: SparkSession, queries: Seq[GoogleSerp.SearchOptions]): DataFrame = {
