@@ -49,7 +49,7 @@ object ScalingBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "128").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
 
   private def prep(pages: Int, hosts: Int): Unit = {
@@ -96,6 +96,9 @@ object ScalingBench {
     val tput = fetched / secs
     println(f"""{"metric":"frontier_throughput","cores":$cores,"corpus_pages":$total,"fetched":$fetched,"generations":${report.generations},"seconds":$secs%.2f,"urls_per_sec":$tput%.1f}""")
     spark.stop()
+    // tmpfs checkpoints are RAM: leaking them across runs degrades every
+    // subsequent measurement (observed: 59 GB of stale state, 2x slowdown)
+    deleteRecursively(new java.io.File(work))
   }
 
   private def warmup(spark: SparkSession): Unit = {
@@ -106,5 +109,11 @@ object ScalingBench {
     new CrawlEngine(spark, df, work).run(Seq(CrawlConfig(
       jobId = "warmup", seeds = Seq(graft.fixtures.SiteGen.pageUrl(0, 0)),
       strategy = "all", maxDepth = 8, limit = 60)))
+    deleteRecursively(new java.io.File(work))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

@@ -213,14 +213,27 @@ final class CrawlEngine(
     val sortedRdd = batch
       .orderBy($"jobId" :: ordCols.toList: _*)
       .as[FrontierEntry].rdd.zipWithIndex().cache()
-    val batchCount = phase(gen, "seq-assign") { sortedRdd.count() }
+    // one job over the cached sorted batch yields count + per-job first
+    // index + per-partition lineage together (three driver round-trips
+    // collapsed into one — fixed superstep latency is what bounds scaling
+    // efficiency at small batch sizes)
+    val partStats: Array[(Int, Long, Map[String, Long])] = phase(gen, "seq-assign") {
+      sortedRdd.mapPartitionsWithIndex { case (pi, it) =>
+        var n = 0L
+        val firsts = scala.collection.mutable.Map[String, Long]()
+        it.foreach { case (fe, i) =>
+          n += 1
+          if (!firsts.contains(fe.jobId)) firsts(fe.jobId) = i
+          else if (i < firsts(fe.jobId)) firsts(fe.jobId) = i
+        }
+        Iterator.single((pi, n, firsts.toMap))
+      }.collect()
+    }
+    val batchCount = partStats.map(_._2).sum
     if (batchCount == 0) { sortedRdd.unpersist(false); return false }
-
-    val firstIdxPerJob: Map[String, Long] = sortedRdd
-      .map { case (fe, i) => (fe.jobId, i) }.reduceByKey(math.min).collect().toMap
-    val lineage: Map[String, Long] = sortedRdd
-      .mapPartitionsWithIndex { case (pi, it) => Iterator((pi.toString, it.size.toLong)) }
-      .collect().toMap
+    val firstIdxPerJob: Map[String, Long] = partStats.iterator.flatMap(_._3)
+      .toSeq.groupMapReduce(_._1)(_._2)(math.min)
+    val lineage: Map[String, Long] = partStats.map(s => s._1.toString -> s._2).toMap
     val offsets = seqOffsets
     val offB = spark.sparkContext.broadcast(offsets)
     val firstB = spark.sparkContext.broadcast(firstIdxPerJob)
@@ -384,20 +397,15 @@ final class CrawlEngine(
     // ------------------------------------------------------ commit the step
     phase(gen, "expand-dedup-write") { fresh.select($"jobId", $"urlNorm").write.mode("overwrite").parquet(ckpt.seenPath(gen + 1)) }
     val freshRead = spark.read.parquet(ckpt.seenPath(gen + 1))
-    val freshCounts = freshRead.groupBy("jobId").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single pass: per-job fresh counts + the generation's bloom together
+    val freshCounts = phase(gen, "bloom-build") {
+      val (newBloom, counts) = SeenBloom.fromJobKeys(freshRead, "jobId", "urlNorm",
+        settings.bloomShards, settings.bloomExpectedPerShard, settings.bloomFpp)
+      bloom.mergeFrom(newBloom)
+      counts
+    }
     freshCounts.foreach { case (j, n) =>
       progress += j -> progress(j).copy(enqueued = progress(j).enqueued + n)
-    }
-
-    // merge the new keys into the driver bloom (distributed build, tiny merge)
-    if (freshCounts.values.sum > 0) {
-      phase(gen, "bloom-build") {
-        val newBloom = SeenBloom.fromKeys(
-          freshRead.select(concat($"jobId", lit("-"), $"urlNorm").as("k")),
-          "k", settings.bloomShards, settings.bloomExpectedPerShard, settings.bloomFpp)
-        bloom.mergeFrom(newBloom)
-      }
     }
 
     // next frontier = (pending - batch) ∪ retries ∪ fresh.

@@ -75,6 +75,26 @@ object SeenBloom {
     sb
   }
 
+  /** One-pass (bloom, per-job counts) build over (jobId, urlNorm) rows —
+    * collapses the engine's separate count job and bloom job into a single
+    * treeAggregate (superstep fixed latency bounds scaling efficiency). */
+  def fromJobKeys(df: DataFrame, jobCol: String, keyCol: String,
+      shards: Int, expectedPerShard: Long, fpp: Double): (SeenBloom, Map[String, Long]) = {
+    val (bloom, counts) = df.select(jobCol, keyCol).na.drop().rdd
+      .map(r => (r.getString(0), r.getString(0) + "-" + r.getString(1)))
+      .treeAggregate((new SeenBloom(shards, expectedPerShard, fpp),
+          scala.collection.mutable.Map[String, Long]()))(
+        seqOp = { case ((b, m), (job, key)) =>
+          b.put(key); m(job) = m.getOrElse(job, 0L) + 1L; (b, m)
+        },
+        combOp = { case ((b1, m1), (b2, m2)) =>
+          b1.mergeFrom(b2)
+          m2.foreach { case (j, n) => m1(j) = m1.getOrElse(j, 0L) + n }
+          (b1, m1)
+        })
+    (bloom, counts.toMap)
+  }
+
   /** Build a SeenBloom from a column of keys, distributed (uses Spark's
     * aggregate-based bloom builder per shard-partition, merged on driver). */
   def fromKeys(df: DataFrame, col: String, shards: Int, expectedPerShard: Long, fpp: Double): SeenBloom = {
