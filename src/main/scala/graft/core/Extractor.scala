@@ -42,10 +42,12 @@ object Extractor {
     val title = Html.selectFirst(doc, "title").map(_.text.trim).getOrElse("")
 
     // metadata (<meta> with (name|property)+content, DataExtractor.ts:175-198)
+    // JS truthiness: `(name || property) && content` — empty content drops
+    // the entry (DataExtractor.ts:183)
     val metadata = Html.select(doc, "meta").flatMap { m =>
       val name = m.attr("name").filter(_.nonEmpty)
       val property = m.attr("property").filter(_.nonEmpty)
-      val content = m.attr("content")
+      val content = m.attr("content").filter(_.nonEmpty)
       (name.orElse(property), content) match {
         case (Some(n), Some(c)) => Some(MetaEntry(n, c.trim, property))
         case _ => None
@@ -85,9 +87,12 @@ object LinkExtractor {
       a.attr("href").map(_.trim).filter(_.nonEmpty).foreach { href =>
         if (!href.startsWith("#") && !href.toLowerCase.startsWith("javascript:") &&
             !href.toLowerCase.startsWith("mailto:") && !href.toLowerCase.startsWith("tel:")) {
-          val abs = UrlOps.resolve(baseUrl, href)
-          val scheme = UrlOps.parse(abs).flatMap(_.scheme).map(_.toLowerCase)
-          if (scheme.contains("http") || scheme.contains("https")) seen += abs
+          // Crawlee enqueueLinks skips hrefs `new URL` rejects — resolveOpt
+          // None mirrors that (e.g. `http://` with an empty host)
+          UrlOps.resolveOpt(baseUrl, href).foreach { abs =>
+            val scheme = UrlOps.parse(abs).flatMap(_.scheme).map(_.toLowerCase)
+            if (scheme.contains("http") || scheme.contains("https")) seen += abs
+          }
         }
       }
     }

@@ -17,7 +17,7 @@ import scala.collection.mutable.ArrayBuffer
 object Html {
 
   sealed trait Node
-  final case class Text(text: String) extends Node
+  final case class Text(var text: String) extends Node
   final case class Comment(text: String) extends Node
   final case class Doctype(text: String) extends Node
   final class Elem(
@@ -75,7 +75,7 @@ object Html {
 
   private val namedEntities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "nbsp" -> "\u00a0", "copy" -> "©", "reg" -> "®", "trade" -> "™",
     "hellip" -> "…", "mdash" -> "—", "ndash" -> "–",
     "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
     "laquo" -> "«", "raquo" -> "»", "times" -> "×", "divide" -> "÷",
@@ -117,13 +117,16 @@ object Html {
     sb.toString
   }
 
-  /** Escape for text-node serialization. */
+  /** Escape for text-node serialization (parse5 semantics: U+00A0 is
+    * serialized as &nbsp; — this is what lets a non-breaking space survive
+    * the markdown pipeline's whitespace pre-collapse, as it does through
+    * cheerio's $.html()). */
   def escapeText(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s.replace("&", "&amp;").replace("\u00a0", "&nbsp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Escape for double-quoted attribute values. */
+  /** Escape for double-quoted attribute values (parse5: &, ", U+00A0). */
   def escapeAttr(s: String): String =
-    s.replace("&", "&amp;").replace("\"", "&quot;")
+    s.replace("&", "&amp;").replace("\u00a0", "&nbsp;").replace("\"", "&quot;")
 
   // ----------------------------------------------------------------- parser
 

@@ -4,23 +4,38 @@ package graft.core
  * HTML -> Markdown serializer reproducing the reference's converter
  * (`packages/libs/src/html-to-markdown.ts:3-213`): turndown v7 defaults
  * (public knowledge — setext h1/h2, `* * *` hr, `*   ` bullets, indented
- * code blocks, inlined links, flanking-whitespace handling, join with
- * max-2-newline collapsing, markdown escaping) overridden by the reference's
- * nine custom rules:
+ * code blocks, inlined links, flanking-whitespace handling, collapse-
+ * whitespace DOM pass, blank-rule precedence, join with max-2-newline
+ * collapsing, markdown escaping) overridden by the reference's nine custom
+ * rules:
  *
  *  1. remove script/style/noscript/meta/link        (:15-21)
  *  2. paragraphs: tight `\n\n` wrap, inline inside <a> (:24-41)
  *  3. divs: inline unless they contain block content  (:44-70)
- *  4. spans: sibling-aware spacing                    (:73-103)
+ *  4. spans: sibling-aware spacing (text/span siblings only, :73-103)
  *  5. anchor-wrapping-a-single-image                  (:106-127)
  *  6. figure/picture tight wrappers                   (:130-137)
  *  7. figcaption as its own paragraph                 (:140-147)
  *  8. em/i -> `*`, strong/b -> `**` (trimmed)         (:150-167)
  *  9. <br> -> `\n`                                    (:170-175)
  *
- * plus its pre-processing (collapse inter-tag + all whitespace, :5-8) and
- * post-processing (bracket-wrapped-image normalization, link-text whitespace
- * collapse, 3+-newline collapse, trim, :178-209).
+ * plus its pre-processing (collapse inter-tag + all whitespace, :5-8, using
+ * JS `\s` semantics — includes U+00A0) and post-processing (bracket-wrapped-
+ * image normalization, link-text whitespace collapse, 3+-newline collapse,
+ * trim, :178-209).
+ *
+ * Fidelity notes (turndown v7 semantics, audited for the golden corpus):
+ *  - the blank rule fires before every other rule (Rules.forNode): a blank
+ *    block element yields "\n\n", a blank inline element "" — even when a
+ *    custom rule matches the tag;
+ *  - collapse-whitespace runs over the DOM before conversion (RootNode);
+ *  - flanking whitespace of inline elements consults siblings
+ *    (isFlankedByWhitespace) and distinguishes ASCII from non-ASCII
+ *    whitespace (U+00A0 survives);
+ *  - the indented-code-block rule fires only when `pre`'s first child is
+ *    `code` (otherwise `pre` takes the default block rule);
+ *  - inline-link hrefs get `(` `)` escaped, titles are cleaned and `"`-escaped;
+ *  - text is escaped unless inside `code` (not `pre`).
  */
 object Markdown {
 
@@ -40,23 +55,89 @@ object Markdown {
 
   def isBlock(tag: String): Boolean = blockElements.contains(tag)
 
-  /** Full pipeline: preprocess raw HTML string, convert, postprocess. */
+  /** JS `\s` character class (regex source form) — unlike Java's `\s` it
+    * includes U+00A0 and the Unicode space separators. */
+  private val JsWs =
+    "\\t\\n\\x0B\\f\\r \\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+
+  private def isJsWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' ||
+    c == '\u00a0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200a') ||
+    c == '\u2028' || c == '\u2029' || c == '\u202f' || c == '\u205f' ||
+    c == '\u3000' || c == '\ufeff'
+
+  /** Full pipeline: preprocess raw HTML string (JS-\s semantics,
+    * html-to-markdown.ts:5-8), parse, collapse whitespace, convert,
+    * postprocess. */
   def fromHtml(html: String): String = {
     val pre = html
-      .replaceAll(">\\s+<", "><")
-      .replaceAll("\\s+", " ")
+      .replaceAll(s">[$JsWs]+<", "><")
+      .replaceAll(s"[$JsWs]+", " ")
       .trim
     val doc = Html.parse(pre)
-    val body = convert(doc)
+    collapseWhitespace(doc)
+    val body = processChildren(doc, Nil)
     postprocess(body)
   }
 
-  // ------------------------------------------------------------ conversion
+  // --------------------------------------------------- collapse-whitespace
+  //
+  // turndown's RootNode pre-pass (the `collapse-whitespace` algorithm):
+  // pre-order walk; text runs of [ \r\n\t] collapse to one space; leading
+  // space is dropped at block starts / after trailing-space text; trailing
+  // space is dropped before blocks, <br>, and at the end. <pre> subtrees and
+  // void elements are skipped (and keep the following text's leading space).
 
-  private def convert(root: Html.Elem): String = {
-    val out = processChildren(root, Nil)
-    out
+  private def collapseWhitespace(root: Html.Elem): Unit = {
+    var prevText: Html.Text = null
+    var prevTextParent: Html.Elem = null
+    var keepLeadingWs = false
+    val empties = scala.collection.mutable.ArrayBuffer[(Html.Elem, Html.Node)]()
+
+    def visit(e: Html.Elem): Unit = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case t: Html.Text =>
+            var s = t.text.replaceAll("[ \\r\\n\\t]+", " ")
+            if ((prevText == null || prevText.text.endsWith(" ")) &&
+                !keepLeadingWs && s.startsWith(" "))
+              s = s.substring(1)
+            if (s.isEmpty) empties += ((e, t))
+            else { t.text = s; prevText = t; prevTextParent = e }
+          case el: Html.Elem =>
+            val tag = el.tag
+            if (isBlock(tag) || tag == "br") {
+              if (prevText != null) prevText.text = prevText.text.replaceAll(" $", "")
+              prevText = null
+              keepLeadingWs = false
+              visit(el)
+            } else if (Html.voidElements.contains(tag) || tag == "pre" ||
+                       tag == "script" || tag == "style" || tag == "textarea") {
+              prevText = null
+              keepLeadingWs = true
+              // pre/rawtext subtrees keep their whitespace; voids are empty
+            } else {
+              if (prevText != null) keepLeadingWs = false
+              visit(el)
+            }
+          case _ => // comments/doctypes are invisible to the converter
+        }
+        i += 1
+      }
+    }
+    visit(root)
+    if (prevText != null) {
+      prevText.text = prevText.text.replaceAll(" $", "")
+      if (prevText.text.isEmpty) empties += ((prevTextParent, prevText))
+    }
+    empties.foreach { case (parent, node) =>
+      val idx = parent.children.indexWhere(_ eq node)
+      if (idx >= 0) parent.children.remove(idx)
+    }
   }
+
+  // ------------------------------------------------------------ conversion
 
   /** turndown `process`: reduce children joining with newline collapsing.
     * Accumulates into a StringBuilder — the naive fold
@@ -66,7 +147,8 @@ object Markdown {
     e.children.foreach { child =>
       val piece = child match {
         case Html.Text(t) =>
-          if (ancestors.exists(a => a.tag == "pre" || a.tag == "code")) t else escapeMd(t)
+          // turndown escapes text nodes unless node.isCode (CODE ancestry only)
+          if (ancestors.exists(_.tag == "code")) t else escapeMd(t)
         case el: Html.Elem => replacementFor(el, ancestors)
         case _ => ""
       }
@@ -89,24 +171,65 @@ object Markdown {
     if (lead == 0) sb.append(b) else sb.append(b.substring(lead))
   }
 
-  /** turndown `replacementForNode` incl. flanking whitespace for inline nodes. */
+  /** turndown `replacementForNode`: blank rule first, then flanking
+    * whitespace for inline nodes, then the matched rule. */
   private def replacementFor(node: Html.Elem, ancestors: List[Html.Elem]): String = {
     if (removed.contains(node.tag)) return ""
+    val blank = isBlank(node)
     val content = processChildren(node, node :: ancestors)
     if (isBlock(node.tag)) {
-      applyRule(node, content, ancestors)
+      if (blank) "\n\n" else applyRule(node, content, ancestors)
     } else {
-      val leading = if (content.nonEmpty && content.head.isWhitespace) " " else ""
-      val trailing = if (content.nonEmpty && content.last.isWhitespace) " " else ""
-      val trimmed = content.trim
-      leading + applyRule(node, trimmed, ancestors) + trailing
+      val (leading, trailing) = flanking(node, ancestors)
+      val c2 = if (leading.nonEmpty || trailing.nonEmpty) content.trim else content
+      val body = if (blank) "" else applyRule(node, c2, ancestors)
+      leading + body + trailing
     }
   }
 
+  // turndown edgeWhitespace: ascii ([ \t\r\n]) vs non-ascii (JS-\s rest) edges
+  private val EdgeWsRe =
+    (s"^(([ \\t\\r\\n]*)([$JsWs]*))(?:(?=\\S)[\\s\\S]*\\S)?(([$JsWs]*?)([ \\t\\r\\n]*))$$").r
+
+  /** turndown flankingWhitespace: edge whitespace of the node's textContent;
+    * ASCII edges are abolished when the adjacent sibling already supplies
+    * whitespace (isFlankedByWhitespace). Block nodes have no flanking. */
+  private def flanking(node: Html.Elem, ancestors: List[Html.Elem]): (String, String) = {
+    val txt = node.text
+    EdgeWsRe.findFirstMatchIn(txt) match {
+      case Some(m) =>
+        val leadingAll = Option(m.group(1)).getOrElse("")
+        val leadingAscii = Option(m.group(2)).getOrElse("")
+        val leadingNonAscii = Option(m.group(3)).getOrElse("")
+        val trailingAll = Option(m.group(4)).getOrElse("")
+        val trailingNonAscii = Option(m.group(5)).getOrElse("")
+        val trailingAscii = Option(m.group(6)).getOrElse("")
+        val (prev, next) = siblingsOf(ancestors.headOption, node)
+        val leading =
+          if (leadingAscii.nonEmpty && flankedByWs(prev, left = true)) leadingNonAscii
+          else leadingAll
+        val trailing =
+          if (trailingAscii.nonEmpty && flankedByWs(next, left = false)) trailingNonAscii
+          else trailingAll
+        (leading, trailing)
+      case None => ("", "")
+    }
+  }
+
+  private def flankedByWs(sibling: Option[Html.Node], left: Boolean): Boolean =
+    sibling match {
+      case Some(Html.Text(t)) =>
+        if (left) t.endsWith(" ") else t.startsWith(" ")
+      case Some(e: Html.Elem) if !isBlock(e.tag) =>
+        val t = e.text
+        if (left) t.endsWith(" ") else t.startsWith(" ")
+      case _ => false
+    }
+
+  /** turndown isBlank: not void, not meaningful-when-blank, whitespace-only
+    * textContent (JS \s), and no void/meaningful descendants. */
   private def isBlank(node: Html.Elem): Boolean = {
     if (Html.voidElements.contains(node.tag) || meaningfulWhenBlank.contains(node.tag)) return false
-    // early-exit subtree scan: any non-blank text or void/meaningful
-    // descendant makes it non-blank (no subtree-text materialization)
     def scan(e: Html.Elem): Boolean = { // true => non-blank
       val it = e.children.iterator
       while (it.hasNext) it.next() match {
@@ -123,18 +246,17 @@ object Markdown {
 
   private def hasNonWs(s: String): Boolean = {
     var i = 0
-    while (i < s.length) { if (!Character.isWhitespace(s.charAt(i))) return true; i += 1 }
+    while (i < s.length) { if (!isJsWs(s.charAt(i))) return true; i += 1 }
     false
   }
+
+  /** turndown cleanAttribute: collapse newline runs. */
+  private def cleanAttribute(s: String): String =
+    s.replaceAll("(\\n+\\s*)+", "\n")
 
   private def applyRule(node: Html.Elem, content: String, ancestors: List[Html.Elem]): String = {
     val tag = node.tag
     def insideAnchor: Boolean = ancestors.exists(_.tag == "a")
-
-    // turndown blank rule fires before everything else
-    if (isBlank(node) && !Set("br", "hr", "img").contains(tag) && tag != "p" && tag != "div" &&
-        tag != "span" && tag != "figure" && tag != "picture" && tag != "figcaption")
-      return if (isBlock(tag)) "\n\n" else ""
 
     tag match {
       case "p" => // custom rule :24-41
@@ -151,24 +273,20 @@ object Markdown {
           if (hasBlockContent) "\n\n" + t + "\n\n" else t + " "
         }
 
-      case "span" => // custom rule :73-103 — sibling-aware spacing
+      case "span" => // custom rule :73-103 — sibling-aware spacing.
+        // Both prefix and suffix consider only text or SPAN siblings
+        // (html-to-markdown.ts:85-99).
         val t = content.trim
         if (t.isEmpty) ""
         else {
-          val parentOpt = ancestors.headOption
-          val (prev, next) = siblingsOf(parentOpt, node)
+          val (prev, next) = siblingsOf(ancestors.headOption, node)
           def textual(n: Option[Html.Node]): Boolean = n match {
             case Some(Html.Text(s)) => s.trim.nonEmpty
             case Some(e: Html.Elem) if e.tag == "span" => e.text.trim.nonEmpty
             case _ => false
           }
-          def anyContent(n: Option[Html.Node]): Boolean = n match {
-            case Some(Html.Text(s)) => s.trim.nonEmpty
-            case Some(e: Html.Elem) => e.text.trim.nonEmpty || Html.voidElements.contains(e.tag)
-            case _ => false
-          }
           val prefix = if (textual(prev)) " " else ""
-          val suffix = if (anyContent(next)) " " else ""
+          val suffix = if (textual(next)) " " else ""
           prefix + t + suffix
         }
 
@@ -187,9 +305,15 @@ object Markdown {
           val imageMd = content.trim
           if (invalid) imageMd else s"[$imageMd]($href)"
         } else {
-          val href = node.attr("href").getOrElse("")
-          val title = node.attr("title").map(t => s""" "$t"""").getOrElse("")
-          if (href.isEmpty) content else s"[$content]($href$title)"
+          val href0 = node.attr("href").getOrElse("")
+          if (href0.isEmpty) content
+          else {
+            // turndown inlineLink: escape parens in href, clean + escape title
+            val href = href0.replaceAll("([()])", "\\\\$1")
+            val title = node.attr("title").map(cleanAttribute).filter(_.nonEmpty)
+              .map(t => " \"" + t.replace("\"", "\\\"") + "\"").getOrElse("")
+            s"[$content]($href$title)"
+          }
         }
 
       case "figure" | "picture" => // :130-137
@@ -225,14 +349,11 @@ object Markdown {
         s"\n\n$t\n\n"
 
       case "ul" | "ol" =>
+        // turndown list rule: parent LI whose lastElementChild is this list
         val parentIsLi = ancestors.headOption.exists(_.tag == "li")
-        val isLastChild = ancestors.headOption.exists { p =>
-          p.children.lastIndexWhere { case e: Html.Elem => true; case Html.Text(t) => t.trim.nonEmpty; case _ => false } match {
-            case -1 => false
-            case i  => p.children(i) eq node
-          }
-        }
-        if (parentIsLi && isLastChild) "\n" + content
+        val isLastElementChild = ancestors.headOption.exists(p =>
+          p.elementChildren.lastOption.exists(_ eq node))
+        if (parentIsLi && isLastElementChild) "\n" + content
         else "\n\n" + content + "\n\n"
 
       case "li" =>
@@ -249,41 +370,55 @@ object Markdown {
             s"$num.  "
           case _ => "*   "
         }
+        // turndown: node.nextSibling (any node type) && content not \n-terminated
         val needsNl = parent.exists { p =>
-          val els = p.elementChildren
-          val i = els.indexWhere(_ eq node)
-          i >= 0 && i < els.length - 1
+          val i = p.children.indexWhere { case e: Html.Elem => e eq node; case _ => false }
+          i >= 0 && i < p.children.length - 1
         } && !body.endsWith("\n")
         prefix + body + (if (needsNl) "\n" else "")
 
       case "pre" =>
-        // indented code block (codeBlockStyle: "indented"); content of the
-        // inner <code> (or raw text) indented 4 spaces
-        val raw = node.text
-        if (raw.trim.isEmpty) "" else "\n\n    " + raw.replace("\n", "\n    ") + "\n\n"
+        // turndown indentedCodeBlock fires only when firstChild is <code>;
+        // a bare <pre> takes the default block rule over its processed content.
+        node.children.headOption match {
+          case Some(code: Html.Elem) if code.tag == "code" =>
+            val raw = code.text
+            "\n\n    " + raw.replace("\n", "\n    ") + "\n\n"
+          case _ =>
+            "\n\n" + content + "\n\n"
+        }
 
       case "code" =>
-        if (ancestors.headOption.exists(_.tag == "pre")) content
+        // turndown: code that is the only child of a <pre> is the code block's
+        // payload (handled by the pre rule; content passes through untouched).
+        val soleChildOfPre = ancestors.headOption.exists(p =>
+          p.tag == "pre" && p.children.length == 1)
+        if (soleChildOfPre) content
         else if (content.isEmpty) ""
         else {
-          val delim = if (content.contains("`")) "``" else "`"
-          val pad = if (content.startsWith("`") || content.endsWith("`")) " " else ""
-          s"$delim$pad$content$pad$delim"
+          val c = content.replaceAll("\\r?\\n|\\r", " ")
+          val extraSpace =
+            if (c.startsWith("`") || c.endsWith("`") ||
+                (c.startsWith(" ") && c.endsWith(" ") && c.exists(_ != ' '))) " "
+            else ""
+          var delimiter = "`"
+          val runs = "`+".r.findAllIn(c).toSet
+          while (runs.contains(delimiter)) delimiter += "`"
+          delimiter + extraSpace + c + extraSpace + delimiter
         }
 
       case "hr" => "\n\n* * *\n\n"
 
       case "img" =>
+        val alt = node.attr("alt").map(cleanAttribute).getOrElse("")
         val src = node.attr("src").getOrElse("")
-        val alt = node.attr("alt").getOrElse("")
-        val title = node.attr("title").map(t => s""" "$t"""").getOrElse("")
+        val title = node.attr("title").map(cleanAttribute).filter(_.nonEmpty)
+          .map(t => s""" "$t"""").getOrElse("")
         if (src.isEmpty) "" else s"![$alt]($src$title)"
 
       case _ =>
-        if (isBlock(tag)) {
-          val t = content.trim
-          if (t.isEmpty) "" else s"\n\n$t\n\n"
-        } else content
+        // turndown defaultRule: no trimming
+        if (isBlock(tag)) "\n\n" + content + "\n\n" else content
     }
   }
 

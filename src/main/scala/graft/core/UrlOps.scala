@@ -89,34 +89,76 @@ object UrlOps {
    * fixture domain): scheme repair first, RFC 3986 §5.2 merge, dot-segment
    * removal, and *returns the input unchanged* when resolution is impossible.
    */
-  def resolve(base: String, ref: String): String = {
+  def resolve(base: String, ref: String): String =
+    resolveOpt(base, ref).getOrElse(ref)
+
+  /** WHATWG special schemes (the subset a web crawl meets). */
+  private val specialSchemes: Set[String] = Set("http", "https", "ws", "wss", "ftp")
+
+  /**
+   * WHATWG-faithful resolution; `None` mirrors `new URL(ref, base)` throwing
+   * (reference then returns the input, HTMLTransformer.ts:379-383; Crawlee's
+   * enqueueLinks skips the link instead). Special-scheme nuances covered:
+   *  - `http://` (empty host) is invalid -> None;
+   *  - `https:host/p` with a same-scheme base enters the WHATWG *relative
+   *    state* (resolves like a relative path);
+   *  - with a different-scheme base the slashes are implied
+   *    (`http:foo/p` -> `http://foo/p`).
+   */
+  def resolveOpt(base: String, ref: String): Option[String] = {
     val r = repairScheme(ref.trim)
     (parse(base.trim), parse(r)) match {
-      case (Some(b), Some(p)) if b.scheme.isDefined =>
-        val resolved =
-          if (p.scheme.isDefined) p.copy(path = removeDotSegments(p.path))
-          else if (p.authority.isDefined) p.copy(scheme = b.scheme, path = removeDotSegments(p.path))
-          else if (p.path.isEmpty) {
-            val q = if (p.query.isDefined) p.query else b.query
-            Parts(b.scheme, b.authority, b.path, q, p.fragment)
-          } else if (p.path.startsWith("/"))
-            Parts(b.scheme, b.authority, removeDotSegments(p.path), p.query, p.fragment)
-          else {
-            val merged =
-              if (b.authority.isDefined && b.path.isEmpty) "/" + p.path
-              else {
-                val i = b.path.lastIndexOf('/')
-                (if (i >= 0) b.path.substring(0, i + 1) else "") + p.path
-              }
-            Parts(b.scheme, b.authority, removeDotSegments(merged), p.query, p.fragment)
-          }
-        // WHATWG: an authority with an empty path serializes with "/".
-        val norm =
-          if (resolved.authority.isDefined && resolved.path.isEmpty) resolved.copy(path = "/")
-          else resolved
-        norm.render
-      case _ => ref
+      case (Some(b), Some(p0)) if b.scheme.isDefined =>
+        val bScheme = b.scheme.map(_.toLowerCase)
+        p0.scheme.map(_.toLowerCase) match {
+          case Some(s) if specialSchemes.contains(s) =>
+            p0.authority match {
+              case Some(a) if a.isEmpty => None // new URL throws on empty host
+              case Some(_) => Some(merge(b, p0))
+              case None =>
+                if (bScheme.contains(s)) {
+                  // same scheme, no "//": WHATWG relative state
+                  Some(merge(b, p0.copy(scheme = None)))
+                } else {
+                  // special authority ignore-slashes: first segment is the host
+                  val path = p0.path
+                  val slash = path.indexOf('/')
+                  val (auth, rest) =
+                    if (slash < 0) (path, "") else (path.substring(0, slash), path.substring(slash))
+                  if (auth.isEmpty) None
+                  else Some(merge(b, p0.copy(authority = Some(auth), path = rest)))
+                }
+            }
+          case _ => Some(merge(b, p0))
+        }
+      case _ => None
     }
+  }
+
+  /** RFC 3986 §5.2 reference merge + WHATWG empty-path serialization. */
+  private def merge(b: Parts, p: Parts): String = {
+    val resolved =
+      if (p.scheme.isDefined) p.copy(path = removeDotSegments(p.path))
+      else if (p.authority.isDefined) p.copy(scheme = b.scheme, path = removeDotSegments(p.path))
+      else if (p.path.isEmpty) {
+        val q = if (p.query.isDefined) p.query else b.query
+        Parts(b.scheme, b.authority, b.path, q, p.fragment)
+      } else if (p.path.startsWith("/"))
+        Parts(b.scheme, b.authority, removeDotSegments(p.path), p.query, p.fragment)
+      else {
+        val merged =
+          if (b.authority.isDefined && b.path.isEmpty) "/" + p.path
+          else {
+            val i = b.path.lastIndexOf('/')
+            (if (i >= 0) b.path.substring(0, i + 1) else "") + p.path
+          }
+        Parts(b.scheme, b.authority, removeDotSegments(merged), p.query, p.fragment)
+      }
+    // WHATWG: an authority with an empty path serializes with "/".
+    val norm =
+      if (resolved.authority.isDefined && resolved.path.isEmpty) resolved.copy(path = "/")
+      else resolved
+    norm.render
   }
 
   /** Lowercased host (no port, no userinfo); empty string when absent. */
