@@ -40,7 +40,6 @@ final class Checkpoint(workDir: String) {
 
   def frontierPath(gen: Int): String = s"$workDir/frontier/gen=$gen"
   def resultsPath(gen: Int): String = s"$workDir/results/gen=$gen"
-  def seenPath(gen: Int): String = s"$workDir/seen/gen=$gen"
   def bloomPath(gen: Int): Path = Paths.get(s"$workDir/bloom/gen=$gen.bin")
   private def manifestPath(gen: Int): Path = Paths.get(s"$workDir/manifest/gen=$gen.json")
 
@@ -71,7 +70,8 @@ final class Checkpoint(workDir: String) {
     if (gens.isEmpty) None else readManifest(gens.max)
   }
 
-  /** Delete uncommitted generation directories > `gen` (crash cleanup). */
+  /** Delete uncommitted generation directories > `gen` and compactions that
+    * were written after the last committed generation (crash cleanup). */
   def truncateAfter(gen: Int): Unit = {
     Seq("frontier", "results", "seen").foreach { sub =>
       val dir = Paths.get(s"$workDir/$sub")
@@ -79,16 +79,68 @@ final class Checkpoint(workDir: String) {
         Files.list(dir).iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
-            n.startsWith("gen=") && scala.util.Try(n.stripPrefix("gen=").toInt).toOption.exists(_ > gen)
+            (n.startsWith("gen=") && scala.util.Try(n.stripPrefix("gen=").toInt).toOption.exists(_ > gen)) ||
+            (n.startsWith("compact=") && scala.util.Try(n.stripPrefix("compact=").toInt).toOption.exists(_ >= gen))
           }
           .foreach(deleteRecursively)
       }
     }
   }
 
-  /** All committed seen directories up to and including `gen`. */
-  def seenPathsThrough(gen: Int): Seq[String] =
-    (0 to gen).map(seenPath).filter(p => Files.exists(Paths.get(p)))
+  // ---- seen-set storage: the seen keys ARE the frontier history — every
+  // `frontier/gen=N` row carries a `__fresh` flag (true = first time this
+  // (jobId, urlNorm) was enqueued), so no separate seen table is written per
+  // generation. Compaction periodically folds the flagged rows of old
+  // frontier dirs into one 2-column `seen/compact=C/` dir (bounds the
+  // anti-join read fan-in). Validity is the presence of the `_COMPACT_OK`
+  // marker, written only after the parquet write completes — a crash
+  // mid-compaction is invisible.
+  def compactedSeenPath(c: Int): String = s"$workDir/seen/compact=$c"
+  private def compactMarker(c: Int): Path = Paths.get(s"$workDir/seen/compact=$c/_COMPACT_OK")
+
+  /** Largest valid compaction C with C <= maxC (compact=C covers gens 0..C+1). */
+  def lastCompaction(maxC: Int): Option[Int] = {
+    val dir = Paths.get(s"$workDir/seen")
+    if (!Files.exists(dir)) return None
+    val cs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("compact=") =>
+        scala.util.Try(n.stripPrefix("compact=").toInt).toOption }
+      .flatten
+      .filter(c => c <= maxC && Files.exists(compactMarker(c)))
+      .toSeq
+    cs.maxOption
+  }
+
+  def markCompacted(c: Int): Unit =
+    Files.writeString(compactMarker(c), "ok")
+
+  /** After compact=C is marked valid, older compactions are superseded.
+    * (The frontier dirs themselves stay — they are the crawl's audit trail;
+    * the anti-join no longer reads the ones a compaction covers.) */
+  def pruneCompactedSeen(c: Int): Unit = {
+    val dir = Paths.get(s"$workDir/seen")
+    if (!Files.exists(dir)) return
+    Files.list(dir).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("compact=") &&
+          scala.util.Try(n.stripPrefix("compact=").toInt).toOption.exists(_ < c)
+      }
+      .foreach(deleteRecursively)
+  }
+
+  /** Sources of seen keys covering frontier generations 0..gen: the newest
+    * valid compaction (2-column parquet), plus the per-generation frontier
+    * tail (filter `__fresh`, project (jobId, urlNorm)). */
+  def seenSources(gen: Int): (Option[String], Seq[String]) =
+    lastCompaction(gen - 1) match {
+      case Some(c) =>
+        (Some(compactedSeenPath(c)),
+          ((c + 2) to gen).map(frontierPath).filter(p => Files.exists(Paths.get(p))))
+      case None =>
+        (None, (0 to gen).map(frontierPath).filter(p => Files.exists(Paths.get(p))))
+    }
 
   def resultPathsThrough(gen: Int): Seq[String] =
     (0 to gen).map(resultsPath).filter(p => Files.exists(Paths.get(p)))

@@ -53,10 +53,17 @@ final class CrawlEngine(
    * corpus side.
    */
   private lazy val pagesPrepared: DataFrame = {
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // join strategy pinned per-join via hints — no session-global config
+    // flips (a shared SparkSession keeps its settings). Partition count is
+    // sized from the corpus row count (the analog of table stats on a
+    // bucketed warehouse table): a 100 TB corpus gets thousands of
+    // partitions, a test corpus a handful — per-generation probe cost
+    // scales with the data instead of paying a fixed 32-task scan.
+    val nDefault = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cnt = pages.count()
+    val parts = math.max(1L, math.min(cnt / settings.corpusRowsPerPartition + 1L, nDefault.toLong * 32L)).toInt
     pages.select(col(settings.pagesUrlColumn).as("__purl"), col(settings.pagesHtmlColumn).as("__phtml"))
-      .repartition(nPart, col("__purl"))
+      .repartition(parts, col("__purl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -77,6 +84,14 @@ final class CrawlEngine(
 
   // ------------------------------------------------------------------ state
   private var generation: Int = 0
+  /** Pending-frontier size after the last superstep (from the write-riding
+    * accumulator). Drives the adaptive small-step plan: below
+    * `saltMinBatch` pending rows the salted pre-rank phases and the bloom
+    * broadcast cost more than the skew/shuffle they prevent, so the
+    * superstep takes the single-phase exact path (identical semantics).
+    * Unknown (resume) => Long.MaxValue => conservative two-phase. */
+  private var lastPendTotal: Long = Long.MaxValue
+
   private var progress: Map[String, JobProgress] = Map.empty
   private var seqOffsets: Map[String, Long] = Map.empty
   private var bloom: SeenBloom = _
@@ -105,9 +120,9 @@ final class CrawlEngine(
     progress = progress.map { case (j, p) =>
       j -> p.copy(enqueued = seedEntries.count(_.jobId == j).toLong)
     }
-    val seedDs = spark.createDataset(seedEntries)
+    val seedDs = spark.createDataset(seedEntries.map(CrawlEngine.FrontierRowF.of(_, fresh = true)))
     seedDs.write.mode("overwrite").parquet(ckpt.frontierPath(0))
-    seedDs.select($"jobId", $"urlNorm").write.mode("overwrite").parquet(ckpt.seenPath(0))
+    lastPendTotal = seedEntries.size.toLong
 
     loop()
     Report(generation, progress, progress.values.map(_.done).sum, System.currentTimeMillis() - t0)
@@ -123,9 +138,36 @@ final class CrawlEngine(
     seqOffsets = m.seqOffsets
     bloom = SeenBloom.deserialize(java.nio.file.Files.readAllBytes(ckpt.bloomPath(m.generation)))
     generation = m.generation + 1
+    lastPendTotal = Long.MaxValue // unknown -> conservative two-phase plans
     ckpt.truncateAfter(generation) // drop partial output of a crashed gen
     loop()
     Report(generation, progress, progress.values.map(_.done).sum, System.currentTimeMillis() - t0)
+  }
+
+  /** Compact `seen/gen=*` once the anti-join read fan-in exceeds
+    * `compactEvery` directories: one sequential rewrite into a single
+    * hash-distributed dir (VERDICT: thousands of small-file reads per
+    * superstep at hundreds of generations). Runs AFTER gen's commit, so the
+    * inputs are durable; validity is marker-gated, so a crash mid-compaction
+    * is invisible. Merge-all is O(seen) per compaction — amortized fine at
+    * bench horizons; a production 10^10 deployment would tier the merges
+    * (leveled, like LSM compaction) to avoid rewriting the full set.
+    */
+  private def maybeCompactSeen(gen: Int): Unit = {
+    if (settings.compactEvery <= 0) return
+    val (compactOpt, tailPaths) = ckpt.seenSources(gen + 1)
+    if (compactOpt.size + tailPaths.size < settings.compactEvery) return
+    val parts: Seq[DataFrame] =
+      compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
+      (if (tailPaths.nonEmpty)
+         Seq(spark.read.parquet(tailPaths: _*).where($"__fresh").select($"jobId", $"urlNorm"))
+       else Nil)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    parts.reduce(_ unionByName _)
+      .repartition(nPart, $"jobId", $"urlNorm")
+      .write.mode("overwrite").parquet(ckpt.compactedSeenPath(gen))
+    ckpt.markCompacted(gen)
+    ckpt.pruneCompactedSeen(gen)
   }
 
   private def activeJobs: Seq[CrawlConfig] =
@@ -134,14 +176,20 @@ final class CrawlEngine(
   private def loop(): Unit = {
     var gen = generation
     while (activeJobs.nonEmpty && gen < settings.maxGenerations) {
-      val frontier = spark.read.parquet(ckpt.frontierPath(gen)).as[FrontierEntry]
-      val madeProgress = superstep(gen, frontier)
+      // NOTE: each generation re-roots from parquet deliberately — carrying
+      // a persisted Dataset across supersteps embeds the previous plan into
+      // the next one (pend is referenced several times per step), so plan
+      // trees grow exponentially with generations.
+      val frontier = spark.read.parquet(ckpt.frontierPath(gen))
+        .select("jobId", "url", "urlNorm", "host", "depth", "priority", "parentUrl", "attempt")
+        .as[FrontierEntry]
+      val madeProgress = phase(gen, "superstep-total") { superstep(gen, frontier) }
       if (!madeProgress) {
         // nothing schedulable (e.g., zero politeness budget): finalize rest
         progress = progress.map { case (j, p) =>
           if (p.finalized) (j, p) else (j, p.copy(finalized = true, finalizeReason = "stalled"))
         }
-      }
+      } else phase(gen, "compact") { maybeCompactSeen(gen) }
       gen += 1
       generation = gen
     }
@@ -162,6 +210,7 @@ final class CrawlEngine(
 
   private def superstep(gen: Int, frontier: Dataset[FrontierEntry]): Boolean = {
     val t0 = System.currentTimeMillis()
+    val tSched = System.nanoTime()
     val active = activeJobs
     val activeIds = active.map(_.jobId)
     val pend = frontier.filter($"jobId".isin(activeIds: _*))
@@ -169,23 +218,40 @@ final class CrawlEngine(
     // ---------------------------------------------------------- scheduling
     val ordCols = Seq(col("depth"), col("priority"), col("urlNorm"))
 
+    // Per-job numeric lookups go through a UDF over a broadcast map, NOT
+    // element_at(typedLit(map)): a typedLit embeds the (generation-varying)
+    // map into the generated code, so every superstep produced a brand-new
+    // codegen source and paid a wholestage recompilation (~100-200 ms per
+    // stage per generation). The UDF body is byte-identical across
+    // generations -> codegen cache hits.
+    def jobLookup(m: Map[String, Long]) = {
+      val b = spark.sparkContext.broadcast(m)
+      udf((j: String) => b.value(j))
+    }
+
     // politeness: top hostBudget per (job, host), two-phase to dodge hot-host
     // skew (SURVEY §2.8 C2). Phase 1 ranks within (job, host, salt) buckets;
     // phase 2 ranks the <= salt*budget survivors exactly.
+    // small steps skip the salted pre-rank (one exact window, one shuffle):
+    // the pre-rank only exists to keep a hot key out of a single overloaded
+    // window partition, which cannot matter below saltMinBatch rows
+    val smallStep = lastPendTotal < settings.saltMinBatch
     val budgets = active.map(c => c.jobId -> c.hostBudgetPerStep).toMap
     val needPoliteness = budgets.values.exists(_ != Int.MaxValue)
     val polite =
       if (!needPoliteness) pend.toDF()
       else {
-        val budgetCol = element_at(
-          typedLit(budgets.map { case (k, v) => k -> math.min(v.toLong, Int.MaxValue.toLong) }),
-          $"jobId")
-        val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-        val w1 = Window.partitionBy($"jobId", $"host", salt).orderBy(ordCols: _*)
+        val budgetCol = jobLookup(budgets.map { case (k, v) => k -> v.toLong })($"jobId")
         val w2 = Window.partitionBy($"jobId", $"host").orderBy(ordCols: _*)
-        pend.toDF()
-          .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= budgetCol).drop("__r1")
-          .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= budgetCol).drop("__r2")
+        val pre =
+          if (smallStep) pend.toDF()
+          else {
+            val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
+            val w1 = Window.partitionBy($"jobId", $"host", salt).orderBy(ordCols: _*)
+            pend.toDF()
+              .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= budgetCol).drop("__r1")
+          }
+        pre.withColumn("__r2", row_number().over(w2)).filter($"__r2" <= budgetCol).drop("__r2")
       }
 
     // limit: top remaining per job (P6/W1), same two-phase shape
@@ -197,51 +263,71 @@ final class CrawlEngine(
     val batchDf =
       if (!needLimit) polite
       else {
-        val remCol = element_at(typedLit(remaining), $"jobId")
-        val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-        val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
+        val remCol = jobLookup(remaining)($"jobId")
         val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
-        polite
-          .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= remCol).drop("__r1")
-          .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= remCol).drop("__r2")
+        val pre =
+          if (smallStep) polite
+          else {
+            val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
+            val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
+            polite.withColumn("__r1", row_number().over(w1)).filter($"__r1" <= remCol).drop("__r1")
+          }
+        pre.withColumn("__r2", row_number().over(w2)).filter($"__r2" <= remCol).drop("__r2")
       }
     val batch = batchDf.as[FrontierEntry]
 
+    if (timing) System.err.println(f"[timing] gen=$gen sched-build ${(System.nanoTime() - tSched) / 1e9}%.2f s")
     // ------------------------------------------- seq assignment (canonical)
-    // Distributed sort + zipWithIndex: deterministic under any parallelism,
-    // no single-partition window.
-    val sortedRdd = batch
+    // Distributed sort + manual two-pass indexing: deterministic under any
+    // parallelism, no single-partition window. NOT RDD.zipWithIndex — its
+    // internal count job runs on the UNCACHED parent, executing the whole
+    // sort+politeness pipeline a second time per generation (measured ~40%
+    // of superstep latency). One collect over the cached sorted batch yields
+    // per-partition counts + per-job first positions + lineage together;
+    // global indexes are partition-offset + local position.
+    val sortedBase = batch
       .orderBy($"jobId" :: ordCols.toList: _*)
-      .as[FrontierEntry].rdd.zipWithIndex().cache()
-    // one job over the cached sorted batch yields count + per-job first
-    // index + per-partition lineage together (three driver round-trips
-    // collapsed into one — fixed superstep latency is what bounds scaling
-    // efficiency at small batch sizes)
+      .as[FrontierEntry].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partStats: Array[(Int, Long, Map[String, Long])] = phase(gen, "seq-assign") {
-      sortedRdd.mapPartitionsWithIndex { case (pi, it) =>
+      sortedBase.mapPartitionsWithIndex { case (pi, it) =>
         var n = 0L
         val firsts = scala.collection.mutable.Map[String, Long]()
-        it.foreach { case (fe, i) =>
+        it.foreach { fe =>
+          if (!firsts.contains(fe.jobId)) firsts(fe.jobId) = n // local pos
           n += 1
-          if (!firsts.contains(fe.jobId)) firsts(fe.jobId) = i
-          else if (i < firsts(fe.jobId)) firsts(fe.jobId) = i
         }
         Iterator.single((pi, n, firsts.toMap))
       }.collect()
     }
     val batchCount = partStats.map(_._2).sum
-    if (batchCount == 0) { sortedRdd.unpersist(false); return false }
-    val firstIdxPerJob: Map[String, Long] = partStats.iterator.flatMap(_._3)
+    if (batchCount == 0) { sortedBase.unpersist(false); return false }
+    // partition offset = total rows in lower-numbered partitions
+    val byPi = partStats.sortBy(_._1)
+    val partOffsets: Map[Int, Long] = {
+      var acc = 0L
+      byPi.map { case (pi, n, _) => val o = pi -> acc; acc += n; o }.toMap
+    }
+    val firstIdxPerJob: Map[String, Long] = byPi.iterator
+      .flatMap { case (pi, _, firsts) => firsts.map { case (j, local) => j -> (partOffsets(pi) + local) } }
       .toSeq.groupMapReduce(_._1)(_._2)(math.min)
     val lineage: Map[String, Long] = partStats.map(s => s._1.toString -> s._2).toMap
     val offsets = seqOffsets
     val offB = spark.sparkContext.broadcast(offsets)
     val firstB = spark.sparkContext.broadcast(firstIdxPerJob)
+    val partOffB = spark.sparkContext.broadcast(partOffsets)
     val seqed: Dataset[CrawlEngine.SeqEntry] = spark.createDataset(
-      sortedRdd.map { case (fe, i) =>
-        CrawlEngine.SeqEntry(fe.jobId, fe.url, fe.urlNorm, fe.host, fe.depth,
-          fe.priority, fe.parentUrl, fe.attempt,
-          offB.value(fe.jobId) + (i - firstB.value(fe.jobId)))
+      sortedBase.mapPartitionsWithIndex { case (pi, it) =>
+        val off = offB.value; val first = firstB.value
+        var local = -1L
+        val base = partOffB.value(pi)
+        it.map { fe =>
+          local += 1
+          val i = base + local
+          CrawlEngine.SeqEntry(fe.jobId, fe.url, fe.urlNorm, fe.host, fe.depth,
+            fe.priority, fe.parentUrl, fe.attempt,
+            off(fe.jobId) + (i - first(fe.jobId)))
+        }
       })
 
     // ------------------------------------------------------------ fetch J1
@@ -253,7 +339,15 @@ final class CrawlEngine(
     // shuffle_hash hint pins the strategy (AQE would flip between broadcast
     // and SHJ near the threshold as batch sizes cross it, with high variance);
     // build side = the hinted (batch) side, probe = partition-local cache scan
-    val hit = seqed.hint("shuffle_hash")
+    // Small batches broadcast (the corpus is never shuffled or re-hashed;
+    // each cached corpus partition probes the broadcast batch in place);
+    // large batches take the shuffled-hash path with the batch as build
+    // side. Both pinned by hint — AQE flip-flopping near thresholds made
+    // benchmarks bimodal.
+    val fetchLeft =
+      if (batchCount <= settings.broadcastBatchMax) seqed.hint("broadcast")
+      else seqed.hint("shuffle_hash")
+    val hit = fetchLeft
       .join(pagesPrepared, seqed("urlNorm") === pagesPrepared("__purl"), "inner")
       .drop("__purl")
     val miss = seqed.join(
@@ -268,17 +362,30 @@ final class CrawlEngine(
     // materialized output instead of recomputing the kernel.
     val cfgB = spark.sparkContext.broadcast(configs)
     val genV = gen
+    // A1-A3 accounting rides the extract pass as an accumulator instead of a
+    // separate groupBy-collect job: the extracted stage is consumed by
+    // exactly ONE action (the results write), so each task's updates are
+    // merged exactly once (no stage re-execution, no speculation here).
+    val statAcc = new CrawlEngine.LongMapAcc
+    spark.sparkContext.register(statAcc, s"crawl-stats-gen$gen")
     val extracted = fetched.as[CrawlEngine.FetchedRow].mapPartitions { it =>
       val cfgs = cfgB.value
       it.map { r =>
         val cfg = cfgs(r.jobId)
+        statAcc.add(r.jobId + " fetched" -> 1L)
         if (r.__phtml == null) {
           val terminal = r.attempt + 1 >= cfg.maxAttempts
+          if (terminal) {
+            statAcc.add(r.jobId + " done" -> 1L)
+            statAcc.add(r.jobId + " fail" -> 1L)
+          }
           CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
             r.attempt, 404, success = false, terminal = terminal, "", "", "", "", Nil, genV)
         } else {
           val html = new String(r.__phtml, java.nio.charset.StandardCharsets.UTF_8)
           val ex = Extractor.extract(r.url, html, cfg.formats)
+          statAcc.add(r.jobId + " done" -> 1L)
+          statAcc.add(r.jobId + " succ" -> 1L)
           CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
             r.attempt, 200, success = true, terminal = true,
             ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),
@@ -286,28 +393,29 @@ final class CrawlEngine(
         }
       }
     }
+    // persist-then-write: the write job materializes the cache in the same
+    // pass; link expansion and the retry/deferral joins read the cache
+    // (columnar, pruned) instead of re-reading the parquet just written
+    extracted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phase(gen, "fetch-extract-write") { extracted.write.mode("overwrite").parquet(ckpt.resultsPath(gen)) }
-    sortedRdd.unpersist(false)
+    sortedBase.unpersist(false)
 
-    val res = spark.read.parquet(ckpt.resultsPath(gen))
+    val res = extracted.toDF()
 
     // --------------------------------------------------- accounting (A1-A3)
-    val statRows = phase(gen, "account") { res.groupBy("jobId").agg(
-      sum(when($"terminal", 1L).otherwise(0L)).as("doneD"),
-      sum(when($"success", 1L).otherwise(0L)).as("succD"),
-      sum(when($"terminal" && !$"success", 1L).otherwise(0L)).as("failD"),
-      count(lit(1)).as("fetchedD")
-    ).collect() }
-    statRows.foreach { row =>
-      val j = row.getString(0)
+    val stats = statAcc.value
+    def stat(j: String, k: String): Long = stats.getOrElse(j + " " + k, 0L)
+    val statJobs = stats.keysIterator.map(_.takeWhile(_ != ' ')).toSet
+    statJobs.foreach { j =>
       val p = progress(j)
       progress += j -> p.copy(
-        done = p.done + row.getLong(1),
-        succeeded = p.succeeded + row.getLong(2),
-        failed = p.failed + row.getLong(3))
-      seqOffsets += j -> (seqOffsets(j) + row.getLong(4))
+        done = p.done + stat(j, "done"),
+        succeeded = p.succeeded + stat(j, "succ"),
+        failed = p.failed + stat(j, "fail"))
+      seqOffsets += j -> (seqOffsets(j) + stat(j, "fetched"))
     }
 
+    val tExp = System.nanoTime()
     // ------------------------------------------------- link expansion P2-P5
     val enqueuedSoFar = progress.map { case (j, p) => j -> p.enqueued }
     val enqB = spark.sparkContext.broadcast(enqueuedSoFar)
@@ -350,30 +458,52 @@ final class CrawlEngine(
         }
       }
 
-    // in-batch dedup: canonical-min entry per (jobId, urlNorm) (U1)
+    // in-batch dedup: canonical-min entry per (jobId, urlNorm) (U1).
+    // One hash shuffle on the (jobId, urlNorm) key + a partition-local sorted
+    // first-per-key scan — and the shuffle is the same clustering the seen
+    // anti-join needs, so the join does not re-shuffle this side.
     val cand = candRaw
-      .groupByKey(e => (e.jobId, e.urlNorm))
-      .reduceGroups { (a, b) =>
-        val ord = Ordering.Tuple4[Int, Long, String, String]
-        if (ord.lteq((a.depth, a.priority, a.parentUrl, a.url), (b.depth, b.priority, b.parentUrl, b.url))) a else b
+      .repartition($"jobId", $"urlNorm")
+      .sortWithinPartitions($"jobId", $"urlNorm", $"depth", $"priority", $"parentUrl", $"url")
+      .mapPartitions { it =>
+        var lastJob: String = null
+        var lastNorm: String = null
+        it.filter { e =>
+          val keep = e.jobId != lastJob || e.urlNorm != lastNorm
+          if (keep) { lastJob = e.jobId; lastNorm = e.urlNorm }
+          keep
+        }
       }
-      .map(_._2)
 
     // ----------------------------------- seen-set dedup: bloom + exact (J2)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf { (jobId: String, urlNorm: String) =>
-      bloomB.value.mightContain(jobId + "-" + urlNorm)
-    }
-    val tagged = cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
+    // The bloom pre-filter pays for itself only when the candidate set is
+    // large (it kills shuffle width ahead of the exact anti-join). Below
+    // `bloomMinBatch` scheduled rows the ~MBs-per-generation broadcast of
+    // the filter costs more than the shuffle it saves, so small supersteps
+    // go straight to the exact anti-join. The driver-side filter stays
+    // warm (putHash per fresh key) either way, ready for large batches.
+    val useBloom = batchCount >= settings.bloomMinBatch
+    val tagged =
+      if (useBloom) {
+        val bloomB = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf { (jobId: String, urlNorm: String) =>
+          bloomB.value.mightContain(jobId + "-" + urlNorm)
+        }
+        cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
+      } else cand.withColumn("__maybe", lit(true))
     val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe").as[FrontierEntry]
     val positives = tagged.filter($"__maybe").drop("__maybe").as[FrontierEntry]
-    val seenPaths = ckpt.seenPathsThrough(gen)
-    val survivors =
-      if (seenPaths.isEmpty) positives
-      else {
-        val seenDf = spark.read.parquet(seenPaths: _*)
+    val (compactOpt, tailPaths) = ckpt.seenSources(gen)
+    val seenParts: Seq[DataFrame] =
+      compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
+      (if (tailPaths.nonEmpty)
+         Seq(spark.read.parquet(tailPaths: _*).where($"__fresh").select($"jobId", $"urlNorm"))
+       else Nil)
+    val survivors = seenParts.reduceOption(_ unionByName _) match {
+      case None => positives
+      case Some(seenDf) =>
         positives.join(seenDf, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
-      }
+    }
     var fresh = definitelyNew.unionByName(survivors)
 
     // enqueue-cap: never let a job's total enqueued exceed its limit
@@ -384,28 +514,19 @@ final class CrawlEngine(
         val room = if (c.limit > 0) math.max(0L, c.limit.toLong - progress(c.jobId).enqueued) else Long.MaxValue
         c.jobId -> room
       }.toMap
-      val capCol = element_at(typedLit(capMap), $"jobId")
-      val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-      val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
+      val capCol = jobLookup(capMap)($"jobId")
       val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
-      fresh = fresh.toDF()
-        .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= capCol).drop("__r1")
+      val pre =
+        if (smallStep) fresh.toDF()
+        else {
+          val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
+          val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
+          fresh.toDF()
+            .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= capCol).drop("__r1")
+        }
+      fresh = pre
         .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= capCol).drop("__r2")
         .as[FrontierEntry]
-    }
-
-    // ------------------------------------------------------ commit the step
-    phase(gen, "expand-dedup-write") { fresh.select($"jobId", $"urlNorm").write.mode("overwrite").parquet(ckpt.seenPath(gen + 1)) }
-    val freshRead = spark.read.parquet(ckpt.seenPath(gen + 1))
-    // single pass: per-job fresh counts + the generation's bloom together
-    val freshCounts = phase(gen, "bloom-build") {
-      val (newBloom, counts) = SeenBloom.fromJobKeys(freshRead, "jobId", "urlNorm",
-        settings.bloomShards, settings.bloomExpectedPerShard, settings.bloomFpp)
-      bloom.mergeFrom(newBloom)
-      counts
-    }
-    freshCounts.foreach { case (j, n) =>
-      progress += j -> progress(j).copy(enqueued = progress(j).enqueued + n)
     }
 
     // next frontier = (pending - batch) ∪ retries ∪ fresh.
@@ -421,13 +542,43 @@ final class CrawlEngine(
       .select($"jobId", $"url", $"urlNorm", $"host", $"depth", $"priority", $"parentUrl", $"attempt")
       .as[FrontierEntry]
 
-    val nextFrontier = deferred.unionByName(retriesWithPrio).unionByName(fresh)
+    if (timing) System.err.println(f"[timing] gen=$gen plan-build ${(System.nanoTime() - tExp) / 1e9}%.2f s")
+    // One write commits the whole step's frontier state: deferred + retries
+    // + fresh rows, with fresh flagged `__fresh` (the seen table IS the
+    // flagged frontier history — no separate seen write). Three per-job
+    // signals ride the same action as accumulators instead of three separate
+    // jobs: pending counts (finalize decision), fresh counts (enqueued
+    // accounting), and the 64-bit hashes of fresh keys (driver-side bloom
+    // insert — see SeenBloom scaladoc). The stage is consumed by exactly
+    // this one action, so updates merge exactly once.
+    val pendAcc = new CrawlEngine.LongMapAcc
+    val freshAcc = new CrawlEngine.LongMapAcc
+    val hashAcc = new CrawlEngine.LongsAcc
+    spark.sparkContext.register(pendAcc, s"crawl-pending-gen$gen")
+    spark.sparkContext.register(freshAcc, s"crawl-fresh-gen$gen")
+    spark.sparkContext.register(hashAcc, s"crawl-hashes-gen$gen")
+    val nextFrontier = deferred.map(CrawlEngine.FrontierRowF.of(_, fresh = false))
+      .unionByName(retriesWithPrio.map(CrawlEngine.FrontierRowF.of(_, fresh = false)))
+      .unionByName(fresh.map(CrawlEngine.FrontierRowF.of(_, fresh = true)))
+      .mapPartitions { it =>
+        it.map { r =>
+          pendAcc.add(r.jobId -> 1L)
+          if (r.__fresh) {
+            freshAcc.add(r.jobId -> 1L)
+            hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
+          }
+          r
+        }
+      }
     phase(gen, "frontier-write") { nextFrontier.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
-
-    // pending counts for finalize decision
-    val pendCounts = spark.read.parquet(ckpt.frontierPath(gen + 1))
-      .groupBy("jobId").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    extracted.unpersist(false)
+    val pendCounts = pendAcc.value
+    lastPendTotal = pendCounts.values.sum
+    val freshCounts = freshAcc.value
+    hashAcc.value.foreach(bloom.putHash)
+    freshCounts.foreach { case (j, n) =>
+      progress += j -> progress(j).copy(enqueued = progress(j).enqueued + n)
+    }
     progress = progress.map { case (j, p) =>
       if (p.finalized) (j, p)
       else {
@@ -437,7 +588,7 @@ final class CrawlEngine(
       }
     }
 
-    ckpt.commit(GenManifest(
+    phase(gen, "commit") { ckpt.commit(GenManifest(
       generation = gen,
       progress = progress.values.toSeq.sortBy(_.jobId),
       seqOffsets = seqOffsets,
@@ -445,8 +596,8 @@ final class CrawlEngine(
       freshCount = freshCounts.values.sum,
       partitionLineage = lineage,
       fetchedPages = batchCount,
-      extractedDocs = statRows.map(_.getLong(2)).sum,
-      wallMillis = System.currentTimeMillis() - t0), bloom.serialized)
+      extractedDocs = statJobs.toSeq.map(j => stat(j, "succ")).sum,
+      wallMillis = System.currentTimeMillis() - t0), bloom.serialized) }
 
     true
   }
@@ -466,8 +617,13 @@ final class CrawlEngine(
   /** The final URL-seen set (jobId, urlNorm). */
   def seenSet(): DataFrame = {
     val last = ckpt.lastCommitted.map(_.generation).getOrElse(-1)
-    val paths = ckpt.seenPathsThrough(last + 1)
-    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*).distinct()
+    val (compactOpt, tailPaths) = ckpt.seenSources(last + 1)
+    val parts: Seq[DataFrame] =
+      compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
+      (if (tailPaths.nonEmpty)
+         Seq(spark.read.parquet(tailPaths: _*).where($"__fresh").select($"jobId", $"urlNorm"))
+       else Nil)
+    parts.reduceOption(_ unionByName _).map(_.distinct()).getOrElse(spark.emptyDataFrame)
   }
 }
 
@@ -479,7 +635,12 @@ object CrawlEngine {
       bloomExpectedPerShard: Long = 1000000L,
       bloomFpp: Double = 0.01,
       saltBuckets: Int = 32,
-      maxGenerations: Int = 1000)
+      maxGenerations: Int = 1000,
+      compactEvery: Int = 8,
+      bloomMinBatch: Long = 65536L,
+      saltMinBatch: Long = 65536L,
+      corpusRowsPerPartition: Long = 4096L,
+      broadcastBatchMax: Long = 65536L)
 
   final case class SeqEntry(jobId: String, url: String, urlNorm: String, host: String,
       depth: Int, priority: Long, parentUrl: String, attempt: Int, seq: Long)
@@ -495,4 +656,45 @@ object CrawlEngine {
 
   final case class CandRow(jobId: String, seq: Long, parentUrl: String, depth: Int,
       idx: Int, childUrl: String)
+
+  /** A frontier row as persisted: FrontierEntry + the `__fresh` flag
+    * (true = first enqueue of this (jobId, urlNorm) — the seen-set marker). */
+  final case class FrontierRowF(jobId: String, url: String, urlNorm: String, host: String,
+      depth: Int, priority: Long, parentUrl: String, attempt: Int, __fresh: Boolean)
+  object FrontierRowF {
+    def of(e: FrontierEntry, fresh: Boolean): FrontierRowF =
+      FrontierRowF(e.jobId, e.url, e.urlNorm, e.host, e.depth, e.priority, e.parentUrl, e.attempt, fresh)
+  }
+
+  /** Growable Long-array accumulator (fresh-key hashes riding a write). */
+  final class LongsAcc extends org.apache.spark.util.AccumulatorV2[Long, Seq[Long]] {
+    private val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    override def isZero: Boolean = buf.isEmpty
+    override def copy(): LongsAcc = {
+      val c = new LongsAcc; c.buf ++= buf; c
+    }
+    override def reset(): Unit = buf.clear()
+    override def add(v: Long): Unit = buf += v
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Seq[Long]]): Unit =
+      buf ++= o.asInstanceOf[LongsAcc].buf
+    override def value: Seq[Long] = buf.toSeq
+  }
+
+  /** Per-key Long counter accumulator (per-job counters folded into write
+    * barriers — each counted stage must be consumed by exactly one action). */
+  final class LongMapAcc extends org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]] {
+    private val m = scala.collection.mutable.HashMap[String, Long]()
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): LongMapAcc = {
+      val c = new LongMapAcc
+      m.foreach { case (k, v) => c.m(k) = v }
+      c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(kv: (String, Long)): Unit =
+      m(kv._1) = m.getOrElse(kv._1, 0L) + kv._2
+    override def merge(o: org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]]): Unit =
+      o.asInstanceOf[LongMapAcc].m.foreach { case (k, v) => m(k) = m.getOrElse(k, 0L) + v }
+    override def value: Map[String, Long] = m.toMap
+  }
 }

@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.util.sketch.BloomFilter
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
@@ -8,34 +8,39 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * The URL-seen set (SURVEY §2.3 J2 / §2.4 A8): a bloom-filter pre-filter in
  * front of an exact left-anti join.
  *
- * Shape at scale: the exact set lives as an append-only parquet table of
- * `(jobId, urlNorm)` keyed rows (one directory per generation — never
- * rewritten, O(new) write cost per superstep). The bloom filter is built
- * per-partition and merged via Spark's internal `treeAggregate`-backed
- * `DataFrameStatFunctions.bloomFilter`, held on the driver across
- * generations with `mergeInPlace`, and broadcast into the candidate filter
- * each superstep.
+ * Shape at scale: the exact set lives as append-only parquet keyed by
+ * `(jobId, urlNorm)` (compacted periodically — Checkpoint), the bloom lives
+ * on the driver across generations and is broadcast into the candidate
+ * filter each superstep.
  *
- * Effect: ≥99% of duplicate links are killed *before* the shuffle of the
- * exact anti-join; only bloom-positives (true dups + fpp false positives)
- * shuffle against the seen table. A bloom filter has NO false negatives, so
- * `!mightContain => definitely new` is exact (property-tested).
+ * Keys are reduced to a 64-bit xxHash BEFORE they touch the filter
+ * (`putLong`, not `putString`): executors ship back raw `Long` hashes of the
+ * generation's fresh keys (an accumulator riding the frontier write — no
+ * separate bloom-build job), and the driver inserts them. This kills the
+ * earlier design's scale bug where every aggregation task allocated a
+ * full-size bloom as its fold zero (GBs per task at 10^10 sizing); the
+ * per-generation network cost is now 8 bytes per fresh URL. The extra
+ * hash-collision probability (~n^2/2^64) is absorbed into the bloom's
+ * advertised fpp and cannot cause false negatives.
  *
  * At 10^10 keys / 1% fpp a single filter is ~12 GB — too big to broadcast;
- * the `shards` knob splits the key space by `hash(key) % shards` so each
+ * the `shards` knob splits the key space by `hash % shards` so each
  * broadcast piece stays executor-friendly, at identical semantics.
  */
 final class SeenBloom(val shards: Int, expectedPerShard: Long, fpp: Double) extends Serializable {
   val filters: Array[BloomFilter] =
     Array.fill(shards)(BloomFilter.create(expectedPerShard, fpp))
 
-  private def shardOf(key: String): Int = {
-    val h = key.hashCode
-    ((h % shards) + shards) % shards
+  private def shardOfHash(h: Long): Int = {
+    val x = (h ^ (h >>> 32)).toInt
+    ((x % shards) + shards) % shards
   }
 
-  def put(key: String): Unit = filters(shardOf(key)).putString(key)
-  def mightContain(key: String): Boolean = filters(shardOf(key)).mightContainString(key)
+  def put(key: String): Unit = putHash(SeenBloom.hash64(key))
+  def mightContain(key: String): Boolean = mightContainHash(SeenBloom.hash64(key))
+
+  def putHash(h: Long): Unit = filters(shardOfHash(h)).putLong(h)
+  def mightContainHash(h: Long): Boolean = filters(shardOfHash(h)).mightContainLong(h)
 
   def mergeFrom(other: SeenBloom): Unit = {
     require(other.shards == shards)
@@ -60,6 +65,15 @@ final class SeenBloom(val shards: Int, expectedPerShard: Long, fpp: Double) exte
 }
 
 object SeenBloom {
+
+  /** xxHash64 (seed 42) of the key's UTF-8 bytes — same digest everywhere a
+    * key is hashed (driver seeds, executor candidate filter, accumulator). */
+  def hash64(key: String): Long = {
+    val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
   def deserialize(bytes: Array[Byte]): SeenBloom = {
     val dis = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
     val shards = dis.readInt()
@@ -75,37 +89,39 @@ object SeenBloom {
     sb
   }
 
-  /** One-pass (bloom, per-job counts) build over (jobId, urlNorm) rows —
-    * collapses the engine's separate count job and bloom job into a single
-    * treeAggregate (superstep fixed latency bounds scaling efficiency). */
+  /** One-pass (bloom, per-job counts) build over (jobId, urlNorm) rows.
+    * Tasks fold (hash array, counts) — a few bytes per row — and the DRIVER
+    * owns the only full-size filter (the old design allocated one per task
+    * as the fold zero). */
   def fromJobKeys(df: DataFrame, jobCol: String, keyCol: String,
       shards: Int, expectedPerShard: Long, fpp: Double): (SeenBloom, Map[String, Long]) = {
-    val (bloom, counts) = df.select(jobCol, keyCol).na.drop().rdd
-      .map(r => (r.getString(0), r.getString(0) + "-" + r.getString(1)))
-      .treeAggregate((new SeenBloom(shards, expectedPerShard, fpp),
+    val (hashes, counts) = df.select(jobCol, keyCol).na.drop().rdd
+      .map(r => (r.getString(0), hash64(r.getString(0) + "-" + r.getString(1))))
+      .treeAggregate((scala.collection.mutable.ArrayBuffer[Long](),
           scala.collection.mutable.Map[String, Long]()))(
-        seqOp = { case ((b, m), (job, key)) =>
-          b.put(key); m(job) = m.getOrElse(job, 0L) + 1L; (b, m)
+        seqOp = { case ((hs, m), (job, h)) =>
+          hs += h; m(job) = m.getOrElse(job, 0L) + 1L; (hs, m)
         },
-        combOp = { case ((b1, m1), (b2, m2)) =>
-          b1.mergeFrom(b2)
+        combOp = { case ((h1, m1), (h2, m2)) =>
+          h1 ++= h2
           m2.foreach { case (j, n) => m1(j) = m1.getOrElse(j, 0L) + n }
-          (b1, m1)
+          (h1, m1)
         })
+    val bloom = new SeenBloom(shards, expectedPerShard, fpp)
+    hashes.foreach(bloom.putHash)
     (bloom, counts.toMap)
   }
 
-  /** Build a SeenBloom from a column of keys, distributed (uses Spark's
-    * aggregate-based bloom builder per shard-partition, merged on driver). */
+  /** Build a SeenBloom from a column of keys (driver-resident filter, tasks
+    * ship hashes). */
   def fromKeys(df: DataFrame, col: String, shards: Int, expectedPerShard: Long, fpp: Double): SeenBloom = {
+    val hashes = df.select(col).na.drop().rdd
+      .map(r => hash64(r.getString(0)))
+      .treeAggregate(scala.collection.mutable.ArrayBuffer[Long]())(
+        seqOp = (acc, h) => { acc += h; acc },
+        combOp = (a, b) => { a ++= b; a })
     val sb = new SeenBloom(shards, expectedPerShard, fpp)
-    // One pass: per-partition local blooms, merged via treeAggregate.
-    val merged = df.select(col).na.drop().rdd
-      .map(_.getString(0))
-      .treeAggregate(new SeenBloom(shards, expectedPerShard, fpp))(
-        seqOp = (acc, key) => { acc.put(key); acc },
-        combOp = (a, b) => { a.mergeFrom(b); a })
-    sb.mergeFrom(merged)
+    hashes.foreach(sb.putHash)
     sb
   }
 }
