@@ -308,16 +308,27 @@ object SparkEntry {
     }),
 
     "q27_serp_url_plan" -> ((s, dir) => {
-      // F11 task-URL builder over a query table; output is known by
+      // F11 task-URL builder over a query table, swept across 8 locales
+      // exercising the full GoogleData tables (exact region, skip-aware
+      // fallback, zh-CN -> HK remap, per-country domains); output known by
       // construction -> SQL-checkable
-      val build = udf((q: String, page: Int) => graft.serp.GoogleSerp.buildSearchUrl(
-        graft.serp.GoogleSerp.SearchOptions(query = q, page = page, limit = 10)))
+      val locales: IndexedSeq[(Option[String], Option[String])] = IndexedSeq(
+        (None, None), (Some("en"), Some("US")), (Some("de"), Some("DE")),
+        (Some("fr"), Some("FR")), (Some("ja"), Some("JP")), (Some("pt"), Some("BR")),
+        (Some("zh"), Some("CN")), (Some("ru"), None))
+      val build = udf((q: String, page: Int, li: Int) => {
+        val (l, c) = locales(li)
+        graft.serp.GoogleSerp.buildSearchUrl(graft.serp.GoogleSerp.SearchOptions(
+          query = q, page = page, limit = 10, lang = l, country = c))
+      })
       t(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("query "), pmod(col("doc_id"), lit(7))).as("query"),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int").as("page"))
-        .withColumn("task_url", build(col("query"), col("page")))
-        .select(col("doc_id"), col("query"), col("page").cast("long").as("page"), col("task_url"))
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int").as("page"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("locale_id"))
+        .withColumn("task_url", build(col("query"), col("page"), col("locale_id")))
+        .select(col("doc_id"), col("query"), col("page").cast("long").as("page"),
+          col("locale_id").cast("long").as("locale_id"), col("task_url"))
         .orderBy(col("doc_id"))
     }),
 
@@ -357,6 +368,44 @@ object SparkEntry {
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("pred"))
+    }),
+
+    "q30_extract_metadata" -> ((s, dir) => {
+      // the extraction kernel (title/metadata/links) over HTML synthesized
+      // from doc_id — every output column is a closed-form function of
+      // doc_id, so the DuckDB oracle recomputes it without parsing HTML
+      val mk = udf((id: Long) => {
+        val metas = (0L until id % 4).map(i =>
+          s"""<meta name="k$i" content="v${id % 5}">""").mkString
+        val links = (0L until id % 3).map(i =>
+          s"""<a href="/l$i.html">l$i</a>""").mkString
+        s"<html><head><title>Doc $id</title>$metas</head><body><p>intro</p>$links</body></html>"
+      })
+      val ext = udf((id: Long, html: String) => {
+        val ex = graft.core.Extractor.extract(
+          s"https://docs.example.test/d$id.html", html,
+          graft.core.Extractor.Formats(html = false, markdown = false, text = false))
+        (ex.title, ex.metadata.length.toLong, ex.links.length.toLong,
+          ex.metadata.map(_.content).distinct.sorted.mkString(","))
+      })
+      t(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id")).as("html"))
+        .select(col("doc_id"), ext(col("doc_id"), col("html")).as("x"))
+        .select(col("doc_id"), col("x._1").as("title"), col("x._2").as("meta_cnt"),
+          col("x._3").as("link_cnt"), col("x._4").as("meta_contents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q31_credit_cost" -> ((s, dir) => {
+      // A4 credit-cost accounting shape (Progress.ts:178-255): per-page cost
+      // via a when() chain folded into per-account totals
+      val e = t(s, dir, "events")
+      val cost = when(col("event_type") === "purchase", lit(5L))
+        .when(col("event_type") === "click", lit(2L))
+        .otherwise(lit(1L))
+      e.groupBy(col("user_id"))
+        .agg(sum(cost).as("credits_used"), count(lit(1)).as("pages"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -510,14 +559,52 @@ object SparkEntry {
          |    $annQuerySqlList), 4) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
 
+    // the locale CASE tables mirror GoogleData exactly: locale 6 (zh, CN)
+    // remaps to HK (Google.ts:583), locale 7 (ru, no country) falls back to
+    // the first file-order ru- region (ru-BY); the md5-derived async arc_id
+    // is deterministic by construction on both sides
     "q27_serp_url_plan" ->
       """SELECT doc_id,
         |  'query ' || (doc_id % 7) AS query,
         |  (doc_id % 3) + 1 AS page,
-        |  'https://www.google.com/search?q=query+' || (doc_id % 7) ||
+        |  (doc_id % 8) AS locale_id,
+        |  'https://' ||
+        |  CASE (doc_id % 8) WHEN 2 THEN 'www.google.de' WHEN 3 THEN 'www.google.fr'
+        |    WHEN 4 THEN 'www.google.co.jp' WHEN 5 THEN 'www.google.com.br'
+        |    WHEN 6 THEN 'www.google.com.hk' WHEN 7 THEN 'www.google.by'
+        |    ELSE 'www.google.com' END ||
+        |  '/search?q=query+' || (doc_id % 7) ||
         |  '&start=' || ((doc_id % 3) * 10) ||
-        |  '&hl=en-US&lr=lang_en&cr=countryUS&ie=utf8&oe=utf8&filter=0&num=10' AS task_url
+        |  '&hl=' || CASE (doc_id % 8) WHEN 2 THEN 'de-DE' WHEN 3 THEN 'fr-FR'
+        |    WHEN 4 THEN 'ja-JP' WHEN 5 THEN 'pt-BR-BR' WHEN 6 THEN 'zh-CN-HK'
+        |    WHEN 7 THEN 'ru-BY' ELSE 'en-US' END ||
+        |  '&lr=' || CASE (doc_id % 8) WHEN 0 THEN 'en' WHEN 1 THEN 'lang_en'
+        |    WHEN 2 THEN 'lang_de' WHEN 3 THEN 'lang_fr' WHEN 4 THEN 'lang_ja'
+        |    WHEN 5 THEN 'lang_pt-BR' WHEN 6 THEN 'lang_zh-CN' ELSE 'lang_ru' END ||
+        |  '&cr=country' || CASE (doc_id % 8) WHEN 2 THEN 'DE' WHEN 3 THEN 'FR'
+        |    WHEN 4 THEN 'JP' WHEN 5 THEN 'BR' WHEN 6 THEN 'HK' WHEN 7 THEN 'BY'
+        |    ELSE 'US' END ||
+        |  '&ie=utf8&oe=utf8&filter=0&asearch=arc&async=arc_id%3Asrp_' ||
+        |  substr(md5('query ' || (doc_id % 7) || '|' || ((doc_id % 3) * 10)), 1, 23) ||
+        |  '_1' || CASE WHEN (doc_id % 3) = 0 THEN '00'
+        |    ELSE CAST((doc_id % 3) * 10 AS VARCHAR) END ||
+        |  '%2Cuse_ac%3Atrue%2C_fmt%3Aprog&num=10' AS task_url
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_extract_metadata" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  (doc_id % 4) AS meta_cnt,
+        |  (doc_id % 3) AS link_cnt,
+        |  CASE WHEN (doc_id % 4) = 0 THEN '' ELSE 'v' || (doc_id % 5) END AS meta_contents
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_credit_cost" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 5
+        |    WHEN event_type = 'click' THEN 2 ELSE 1 END) AS BIGINT) AS credits_used,
+        |  count(*) AS pages
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q29_robots_filter" ->
       """SELECT doc_id,

@@ -63,31 +63,52 @@ object Graft {
   final case class SearchRequest(
       query: String,
       limit: Int = 10,
-      offset: Int = 0,
-      pages: Int = 1,
-      lang: Option[String] = None,
+      offset: Int = 0,      // skipped results before the global limit (SearchController.ts:76-94)
+      pages: Int = 1,       // SERP pages fanned out per query
+      lang: Option[String] = None, // consumed by task planning (SERP request language)
       scrapeResults: Boolean = false)
 
   /**
    * Search: plan task URLs (F11), join the SERP corpus, parse typed rows
    * (F12), optionally enrich each result with scraped page data (J5:
    * SearchController.ts:184-201 — the Map-lookup merge becomes an equi left
-   * join on url), and apply the final ordered limit (W3).
+   * join on url), and apply offset + the global ordered limit across pages
+   * (W3, SearchController.ts:76-94).
+   *
+   * The query/page predicates are Column filters (codegen + source pruning —
+   * a typed lambda here deserialized every SerpPage payload to test one
+   * string); ordering is re-applied after the enrichment join, which does
+   * not preserve sort order.
    */
   def search(spark: SparkSession, serpPages: Dataset[SerpTransforms.SerpPage],
       req: SearchRequest, scrapeCorpus: Option[DataFrame] = None): DataFrame = {
-    import spark.implicits._
-    val parsed: Dataset[SerpRow] = SerpTransforms.parseAll(spark,
-      serpPages.filter(p => p.query == req.query))
+    val slice = serpPages.filter(
+      col("query") === req.query && col("page") >= 1 && col("page") <= req.pages)
+    val parsed: Dataset[SerpRow] = SerpTransforms.parseAll(spark, slice)
     val limited = parsed.toDF()
       .orderBy(col("page"), col("position"))
+      .offset(req.offset)
       .limit(req.limit)
     if (!req.scrapeResults || scrapeCorpus.isEmpty) limited
     else {
       // J5 enrichment: scrape each SERP url found in the corpus
       val scraped = enrich(spark, scrapeCorpus.get)
       limited.join(scraped, Seq("url"), "left")
+        .orderBy(col("page"), col("position"))
     }
+  }
+
+  /** Task planning for a [[SearchRequest]]: one Google task URL per page,
+    * with the request's lang/offset/limit plumbed into the URL builder
+    * (F11; this is where `lang` acts — the SERP corpus rows carry no
+    * language). */
+  def planSearch(spark: SparkSession, req: SearchRequest): DataFrame = {
+    import spark.implicits._
+    (1 to math.max(1, req.pages)).map { p =>
+      val o = GoogleSerp.SearchOptions(query = req.query, page = p, offset = req.offset,
+        limit = req.limit, lang = req.lang)
+      (req.query, p, GoogleSerp.buildSearchUrl(o))
+    }.toDF("query", "page", "task_url")
   }
 
   /** Extraction projection of a pages corpus keyed by url — the join target
@@ -108,6 +129,31 @@ object Graft {
     * job_results, default page size 100): ordered by canonical seq. */
   def crawlResults(trace: DataFrame, offset: Int = 0, limit: Int = 100): DataFrame =
     trace.orderBy(col("jobId"), col("seq")).offset(offset).limit(limit)
+
+  /** Cancel a crawl job (DELETE /v1/crawl/:jobId, CrawlController.ts:279-305):
+    * drops a persistent marker the engine honors at its next superstep
+    * barrier — the job finalizes with reason "cancelled" and its pending
+    * frontier is never scheduled again (a resume honors the marker too). */
+  def cancel(workDir: String, jobId: String): Unit =
+    new graft.engine.Checkpoint(workDir).requestCancel(jobId)
+
+  final case class JobStatus(
+      jobId: String, generation: Int, enqueued: Long, done: Long,
+      succeeded: Long, failed: Long, creditsUsed: Long,
+      finalized: Boolean, finalizeReason: String)
+
+  /** Job status (GET /v1/crawl/:jobId/status, CrawlController.ts:307-332):
+    * reads the last committed manifest — no engine instance needed, works
+    * from any process that sees the workDir. */
+  def status(workDir: String, jobId: String): Option[JobStatus] = {
+    val ckpt = new graft.engine.Checkpoint(workDir)
+    ckpt.lastCommitted.flatMap { m =>
+      m.progress.find(_.jobId == jobId).map { p =>
+        JobStatus(p.jobId, m.generation, p.enqueued, p.done, p.succeeded,
+          p.failed, p.creditsUsed, p.finalized, p.finalizeReason)
+      }
+    }
+  }
 
   /** Task-URL planning for live deployments (F11/W3): one row per
     * (query, page) with the engine-specific request URL. */

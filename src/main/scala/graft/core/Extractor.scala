@@ -25,14 +25,15 @@ object Extractor {
       html: Option[String],     // cleaned + absolutized (format "html")
       markdown: Option[String], // format "markdown"
       text: Option[String],     // format "text" (over *raw* html, :276)
-      links: Seq[String]        // absolutized out-links in document order
-  )
+      links: Seq[String],       // absolutized out-links in document order
+      rawHtml: Option[String] = None) // format "rawHtml" (DataExtractor.ts:272-274)
 
   final case class Formats(
       html: Boolean = true,
       markdown: Boolean = true,
       text: Boolean = true,
-      links: Boolean = true)
+      links: Boolean = true,
+      rawHtml: Boolean = false)
 
   def extract(url: String, rawHtml: String, formats: Formats = Formats(),
       cleanOpts: Cleaner.Options = Cleaner.Options()): Extracted = {
@@ -70,7 +71,8 @@ object Extractor {
 
     Extracted(url, title, metadata,
       if (formats.html) cleaned else None,
-      markdown, text, links)
+      markdown, text, links,
+      if (formats.rawHtml) Some(rawHtml) else None)
   }
 }
 

@@ -43,6 +43,27 @@ final class Checkpoint(workDir: String) {
   def bloomPath(gen: Int): Path = Paths.get(s"$workDir/bloom/gen=$gen.bin")
   private def manifestPath(gen: Int): Path = Paths.get(s"$workDir/manifest/gen=$gen.json")
 
+  // ---- cancellation markers (DELETE /v1/crawl/:jobId analog): a file per
+  // cancelled job; read at every superstep barrier, surviving restarts.
+  def cancelPath(jobId: String): Path = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(jobId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Paths.get(s"$workDir/cancel/$enc")
+  }
+
+  def requestCancel(jobId: String): Unit = {
+    Files.createDirectories(Paths.get(s"$workDir/cancel"))
+    Files.writeString(cancelPath(jobId), jobId)
+  }
+
+  def cancelledJobs: Set[String] = {
+    val dir = Paths.get(s"$workDir/cancel")
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .flatMap(p => scala.util.Try(Files.readString(p)).toOption)
+      .toSet
+  }
+
   def commit(m: GenManifest, bloomBytes: Array[Byte]): Unit = {
     Files.createDirectories(Paths.get(s"$workDir/manifest"))
     Files.createDirectories(Paths.get(s"$workDir/bloom"))

@@ -175,6 +175,7 @@ final class CrawlEngine(
 
   private def loop(): Unit = {
     var gen = generation
+    applyCancellations()
     while (activeJobs.nonEmpty && gen < settings.maxGenerations) {
       // NOTE: each generation re-roots from parquet deliberately — carrying
       // a persisted Dataset across supersteps embeds the previous plan into
@@ -192,6 +193,22 @@ final class CrawlEngine(
       } else phase(gen, "compact") { maybeCompactSeen(gen) }
       gen += 1
       generation = gen
+      applyCancellations()
+    }
+  }
+
+  /** Cancellation takes effect at the next superstep barrier: jobs with a
+    * cancel marker (Graft.cancel / DELETE /v1/crawl/:jobId,
+    * CrawlController.ts:279-305) finalize with reason "cancelled" and stop
+    * being scheduled. Markers persist, so a resume also honors them. */
+  private def applyCancellations(): Unit = {
+    val cancelled = ckpt.cancelledJobs
+    if (cancelled.nonEmpty) {
+      progress = progress.map { case (j, p) =>
+        if (!p.finalized && cancelled.contains(j))
+          (j, p.copy(finalized = true, finalizeReason = "cancelled"))
+        else (j, p)
+      }
     }
   }
 
@@ -372,24 +389,31 @@ final class CrawlEngine(
       val cfgs = cfgB.value
       it.map { r =>
         val cfg = cfgs(r.jobId)
-        statAcc.add(r.jobId + " fetched" -> 1L)
+        val ts = java.time.Instant.now().toString
+        statAcc.add(r.jobId + "\u001ffetched" -> 1L)
         if (r.__phtml == null) {
           val terminal = r.attempt + 1 >= cfg.maxAttempts
           if (terminal) {
-            statAcc.add(r.jobId + " done" -> 1L)
-            statAcc.add(r.jobId + " fail" -> 1L)
+            statAcc.add(r.jobId + "\u001fdone" -> 1L)
+            statAcc.add(r.jobId + "\u001ffail" -> 1L)
           }
           CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
-            r.attempt, 404, success = false, terminal = terminal, "", "", "", "", Nil, genV)
+            r.attempt, 404, success = false, terminal = terminal, "", "", "", "", "",
+            Nil, Nil, ts, 0L, genV)
         } else {
           val html = new String(r.__phtml, java.nio.charset.StandardCharsets.UTF_8)
           val ex = Extractor.extract(r.url, html, cfg.formats)
-          statAcc.add(r.jobId + " done" -> 1L)
-          statAcc.add(r.jobId + " succ" -> 1L)
+          statAcc.add(r.jobId + "\u001fdone" -> 1L)
+          statAcc.add(r.jobId + "\u001fsucc" -> 1L)
+          // A4 per-page cost: 1 credit per successful page within limit (the
+          // batch is limit-capped by scheduling, so every success is within
+          // limit; json-extraction surcharges are an LLM non-goal)
+          statAcc.add(r.jobId + "\u001fcost" -> 1L)
           CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
             r.attempt, 200, success = true, terminal = true,
             ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),
-            ex.html.getOrElse(""), ex.links, genV)
+            ex.html.getOrElse(""), ex.rawHtml.getOrElse(""), ex.links,
+            ex.metadata, ts, 1L, genV)
         }
       }
     }
@@ -404,14 +428,15 @@ final class CrawlEngine(
 
     // --------------------------------------------------- accounting (A1-A3)
     val stats = statAcc.value
-    def stat(j: String, k: String): Long = stats.getOrElse(j + " " + k, 0L)
-    val statJobs = stats.keysIterator.map(_.takeWhile(_ != ' ')).toSet
+    def stat(j: String, k: String): Long = stats.getOrElse(j + "\u001f" + k, 0L)
+    val statJobs = stats.keysIterator.map(_.takeWhile(_ != '\u001f')).toSet
     statJobs.foreach { j =>
       val p = progress(j)
       progress += j -> p.copy(
         done = p.done + stat(j, "done"),
         succeeded = p.succeeded + stat(j, "succ"),
-        failed = p.failed + stat(j, "fail"))
+        failed = p.failed + stat(j, "fail"),
+        creditsUsed = p.creditsUsed + stat(j, "cost"))
       seqOffsets += j -> (seqOffsets(j) + stat(j, "fetched"))
     }
 
@@ -614,6 +639,14 @@ final class CrawlEngine(
 
   def finalProgress: Map[String, JobProgress] = progress
 
+  /** Full result rows (all formats + metadata/timestamp/cost), unprojected —
+    * the data a GET /v1/crawl/:jobId results page serves. */
+  def results(): org.apache.spark.sql.DataFrame = {
+    val last = ckpt.lastCommitted.map(_.generation).getOrElse(-1)
+    val paths = ckpt.resultPathsThrough(last)
+    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+  }
+
   /** The final URL-seen set (jobId, urlNorm). */
   def seenSet(): DataFrame = {
     val last = ckpt.lastCommitted.map(_.generation).getOrElse(-1)
@@ -652,7 +685,11 @@ object CrawlEngine {
   final case class ExtractedRow(jobId: String, seq: Long, url: String, urlNorm: String,
       host: String, depth: Int, attempt: Int, status: Int, success: Boolean,
       terminal: Boolean, title: String, markdown: String, text: String,
-      htmlClean: String, links: Seq[String], generation: Int)
+      htmlClean: String, rawHtml: String, links: Seq[String],
+      metadata: Seq[graft.core.Extractor.MetaEntry],
+      timestamp: String,        // ISO-8601 extraction time (DataExtractor.ts:223)
+      cost: Long,               // A4: credits for this page (1 per success)
+      generation: Int)
 
   final case class CandRow(jobId: String, seq: Long, parentUrl: String, depth: Int,
       idx: Int, childUrl: String)

@@ -99,6 +99,7 @@ final case class JobProgress(
     done: Long = 0,
     succeeded: Long = 0,
     failed: Long = 0,
+    creditsUsed: Long = 0,     // A4: per-page credit cost (Progress.ts:178-255)
     finalized: Boolean = false,
     finalizeReason: String = "") {
 

@@ -34,16 +34,6 @@ final case class SerpRow(
 
 object GoogleSerp {
 
-  /** Locale -> google language param (subset of the reference's 190-entry
-    * table `libs/src/data/Google.ts` — data, reproduced structurally). */
-  private val languages: Map[String, String] = Map(
-    "en" -> "lang_en", "de" -> "lang_de", "fr" -> "lang_fr", "es" -> "lang_es",
-    "zh" -> "lang_zh-CN", "ja" -> "lang_ja", "pt" -> "lang_pt", "ru" -> "lang_ru",
-    "it" -> "lang_it", "ko" -> "lang_ko", "nl" -> "lang_nl", "ar" -> "lang_ar")
-  private val regions: Map[String, String] = Map(
-    "en-US" -> "US", "en-GB" -> "GB", "de-DE" -> "DE", "fr-FR" -> "FR",
-    "es-ES" -> "ES", "zh-CN" -> "CN", "ja-JP" -> "JP", "pt-BR" -> "BR",
-    "ru-RU" -> "RU", "it-IT" -> "IT", "ko-KR" -> "KR", "nl-NL" -> "NL")
   private val timeRangeMap = Map("hour" -> "h", "day" -> "d", "week" -> "w",
     "month" -> "m", "year" -> "y")
 
@@ -57,27 +47,62 @@ object GoogleSerp {
       timeRange: Option[String] = None,
       safeSearch: Option[Int] = None)
 
-  /** Deterministic task-URL builder (Google.ts:72-169; `arc_id` randomness
-    * replaced with a seeded hash per north-rule determinism). */
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /**
+   * Task-URL builder, faithful to `engines/Google.ts:72-147` over the full
+   * [[GoogleData]] tables:
+   *  - unknown/missing lang falls back to "en" (NOT "lang_en" — :81);
+   *  - country resolution: exact "lang-COUNTRY" region (unless the country
+   *    is on the skip list), else the FIRST file-order region of the lang
+   *    whose country is not skipped, else "US" (:85-107);
+   *  - the per-country google domain picks the base URL (:109-114);
+   *  - param order mirrors URLSearchParams construction: q, start, hl, lr,
+   *    cr, ie, oe, filter, asearch, async, num?, tbs?, safe?;
+   *  - the reference's RANDOM `arc_id` (:153-157) is replaced with a
+   *    deterministic stand-in (md5 of "query|start", same 23-char length and
+   *    charset) per north-rule determinism.
+   */
   def buildSearchUrl(o: SearchOptions): String = {
-    val engLang = o.lang.flatMap(languages.get).getOrElse("lang_en")
-    val langCode = engLang.split('_').lift(1).getOrElse(engLang)
-    val country = o.lang.zip(o.country).flatMap { case (l, c) => regions.get(s"$l-$c") }
-      .orElse(o.lang.flatMap(l => regions.collectFirst { case (k, v) if k.startsWith(s"$l-") => v }))
-      .getOrElse("US")
+    val engLang = o.lang.flatMap(GoogleData.Languages.get).getOrElse("en")
+    val langCode = {
+      val parts = engLang.split('_')
+      if (parts.length > 1) parts(1) else engLang
+    }
+    val exact = for {
+      l <- o.lang; c <- o.country
+      if !GoogleData.SkipCountries.contains(c)
+      v <- GoogleData.Regions.get(s"$l-$c")
+    } yield v
+    val fallback =
+      if (exact.isEmpty && o.lang.isDefined)
+        GoogleData.RegionsOrdered.collectFirst {
+          case (k, v) if k.startsWith(o.lang.get + "-") &&
+            !GoogleData.SkipCountries.contains(v.toUpperCase) => v
+        }
+      else None
+    val country = exact.orElse(fallback).getOrElse("US")
+    val subdomain = GoogleData.SupportedDomains.getOrElse(country.toUpperCase, "www.google.com")
     val perPage = math.min(math.max(o.limit, 1), 100)
     val start = o.offset + (o.page - 1) * perPage
+    val startPadded = { val s = start.toString; if (s.length < 2) ("0" * (2 - s.length)) + s else s }
+    val arcId = s"srp_${md5hex(o.query + "|" + start).take(23)}_1$startPadded"
     val params = Seq(
       "q" -> o.query, "start" -> start.toString,
       "hl" -> s"$langCode-$country", "lr" -> engLang, "cr" -> s"country$country",
       "ie" -> "utf8", "oe" -> "utf8", "filter" -> "0",
-      "num" -> perPage.toString) ++
+      "asearch" -> "arc", "async" -> s"arc_id:$arcId,use_ac:true,_fmt:prog") ++
+      (if (o.limit > 0) Seq("num" -> perPage.toString) else Nil) ++
       o.timeRange.flatMap(timeRangeMap.get).map(t => "tbs" -> s"qdr:$t") ++
       o.safeSearch.map(s => "safe" -> (if (s >= 2) "high" else if (s == 1) "medium" else "off"))
     val qs = params.map { case (k, v) =>
       k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("&")
-    s"https://www.google.com/search?$qs"
+    s"https://$subdomain/search?$qs"
   }
 
   /** Parse one Google SERP page (Google.ts:201-257). */

@@ -56,6 +56,40 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enriched.count() == 5)
   }
 
+  test("search: offset + pages bound + ordering preserved after enrichment") {
+    val s = spark; import s.implicits._
+    val serp = s.createDataset(Seq(
+      SerpTransforms.SerpPage("google", "q1", 1, SerpGen.googleHtml(7L, 10)),
+      SerpTransforms.SerpPage("google", "q1", 2, SerpGen.googleHtml(8L, 10)),
+      SerpTransforms.SerpPage("google", "q1", 3, SerpGen.googleHtml(9L, 10))))
+    // pages=2 slices off page 3; offset=2 skips the first two ordered rows
+    val all = Graft.search(spark, serp, Graft.SearchRequest("q1", limit = 100, pages = 2)).collect()
+    assert(all.map(_.getAs[Int]("page")).max == 2)
+    val shifted = Graft.search(spark, serp,
+      Graft.SearchRequest("q1", limit = 3, offset = 2, pages = 2)).collect()
+    assert(shifted.length == 3)
+    assert(shifted.map(r => (r.getAs[Int]("page"), r.getAs[Int]("position"))).toSeq ==
+      all.map(r => (r.getAs[Int]("page"), r.getAs[Int]("position"))).slice(2, 5).toSeq)
+    // enrichment join does not scramble the (page, position) order
+    val enriched = Graft.search(spark, serp,
+      Graft.SearchRequest("q1", limit = 6, pages = 2, scrapeResults = true),
+      scrapeCorpus = Some(pagesDf)).collect()
+    val order = enriched.map(r => (r.getAs[Int]("page"), r.getAs[Int]("position"))).toSeq
+    assert(order == order.sorted)
+  }
+
+  test("planSearch(request): lang/offset plumbed into the task URLs") {
+    val plan = Graft.planSearch(spark,
+      Graft.SearchRequest("spark", limit = 10, offset = 3, pages = 2, lang = Some("de")))
+      .collect().sortBy(_.getAs[Int]("page"))
+    assert(plan.length == 2)
+    val u1 = plan(0).getAs[String]("task_url")
+    val u2 = plan(1).getAs[String]("task_url")
+    // lang=de without country -> first file-order de-* region (de-AT)
+    assert(u1.contains("lr=lang_de") && u1.contains("www.google.at") && u1.contains("cr=countryAT"))
+    assert(u1.contains("start=3") && u2.contains("start=13")) // offset + (page-1)*perPage
+  }
+
   test("planSearch: pagination fan-out (W3: start = offset + (page-1)*perPage)") {
     val plan = Graft.planSearch(spark, Seq(
       graft.serp.GoogleSerp.SearchOptions(query = "spark", limit = 25)))

@@ -190,6 +190,49 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert((pf.enqueued, pf.done, pf.succeeded, pf.failed) == ((pr.enqueued, pr.done, pr.succeeded, pr.failed)))
   }
 
+  test("results carry metadata/timestamp/rawHtml/cost; credits accounted (A4)") {
+    val cfg = CrawlConfig("jmeta", Seq("https://host0.example.test/p0.html"), limit = 15,
+      formats = graft.core.Extractor.Formats(rawHtml = true))
+    val dir = tmpDir("jmeta")
+    val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+    engine.run(Seq(cfg))
+    val res = engine.results()
+    val ok = res.filter(res("success")).collect()
+    assert(ok.nonEmpty)
+    ok.foreach { r =>
+      assert(r.getAs[String]("timestamp").nonEmpty)
+      assert(r.getAs[Long]("cost") == 1L)
+      assert(r.getAs[String]("rawHtml").nonEmpty) // format requested
+    }
+    // SiteGen pages carry meta tags -> metadata column populated
+    assert(ok.exists(r => r.getAs[Seq[_]]("metadata").nonEmpty))
+    val p = engine.finalProgress("jmeta")
+    assert(p.creditsUsed == p.succeeded) // 1 credit per successful page
+    // failures cost nothing
+    res.filter(!res("success")).collect().foreach(r => assert(r.getAs[Long]("cost") == 0L))
+  }
+
+  test("cancel marker finalizes at the next barrier; resume honors it") {
+    val cfg = CrawlConfig("jcxl", Seq("https://host0.example.test/p0.html"), limit = 60)
+    val dir = tmpDir("jcxl")
+    // run only 2 generations (job not finalized yet)
+    val partial = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings.copy(maxGenerations = 2))
+    partial.run(Seq(cfg))
+    assert(!partial.finalProgress("jcxl").finalized)
+    val before = engineTrace(partial).size
+    // DELETE /v1/crawl/:jobId analog
+    graft.api.Graft.cancel(dir, "jcxl")
+    // resume: cancellation applies at the barrier before any scheduling
+    val resumed = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+    resumed.resume(Seq(cfg))
+    val p = resumed.finalProgress("jcxl")
+    assert(p.finalized && p.finalizeReason == "cancelled")
+    assert(engineTrace(resumed).size == before) // no further fetches
+    // GET /v1/crawl/:jobId/status analog reads the manifest
+    val st = graft.api.Graft.status(dir, "jcxl")
+    assert(st.exists(s => s.done == before.toLong))
+  }
+
   test("multi-job crawl keeps jobs independent") {
     val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
     val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
