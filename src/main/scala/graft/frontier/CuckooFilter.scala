@@ -23,8 +23,12 @@ package graft.frontier
  *    has no lossless union, so mergeFrom can fail at very high load — callers
  *    size shards exactly as for blooms).
  *
- * Serialization matches SeenBloom's framing so checkpoint manifests can carry
- * either.
+ * A single-slot victim cache (the standard Fan et al. construction) catches
+ * the homeless fingerprint when an insert exhausts MaxKicks, so a failed
+ * insert can never evict a previously-inserted key (the no-false-negative
+ * guarantee survives overload). Serialized bytes start with the "CUKF"
+ * magic tag ([[SeenBloom]] uses "BLMF") so checkpoint manifests can carry
+ * either filter type unambiguously.
  */
 final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
     seed: Long = 0x5EED5EEDL) extends Serializable {
@@ -39,6 +43,11 @@ final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
   private var count = 0L
   // deterministic kick sequence (no Random: reproducible across runs)
   private var kickState: Long = seed
+  // single-slot victim cache (Fan et al. §4): holds the homeless fingerprint
+  // of an insert that exhausted MaxKicks, so no resident key is ever lost
+  private var victimUsed = false
+  private var victimFp = 0
+  private var victimBucket = 0
 
   def size: Long = count
 
@@ -79,14 +88,22 @@ final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
     false
   }
 
-  /** Insert; false when the filter is too loaded (caller should grow/shard). */
+  /** Insert; false only when the filter (including the victim slot) is too
+    * loaded to accept anything — in that case NO state changes, so resident
+    * keys are never lost. */
   def put(key: String): Boolean = {
     val h = hashKey(key)
     val fp = fingerprint(h)
-    val i1 = bucketOf(h)
+    insertCore(bucketOf(h), fp)
+  }
+
+  private def insertCore(i1: Int, fp: Int): Boolean = {
     val i2 = altBucket(i1, fp)
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) { count += 1; return true }
-    // cuckoo kicking
+    // both buckets full: kicking will displace residents, and an exhausted
+    // kick chain parks the homeless fingerprint in the victim slot. If that
+    // slot is occupied we must refuse UP FRONT (no state change).
+    if (victimUsed) return false
     var b = if ((mix(kickState) & 1L) == 0L) i1 else i2
     var f = fp
     var n = 0
@@ -101,8 +118,10 @@ final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
       if (tryInsertAt(b, f)) { count += 1; return true }
       n += 1
     }
-    // restore not possible without history; filter is over-loaded
-    false
+    // park the homeless resident; the new key was installed during kicking
+    victimUsed = true; victimFp = f; victimBucket = b
+    count += 1
+    true
   }
 
   def mightContain(key: String): Boolean = {
@@ -116,7 +135,7 @@ final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
       if (table(b1 + s) == fp || table(b2 + s) == fp) return true
       s += 1
     }
-    false
+    victimUsed && victimFp == fp.toInt && (victimBucket == i1 || victimBucket == i2)
   }
 
   /** Delete one occurrence of a previously-inserted key. Returns whether a
@@ -140,6 +159,11 @@ final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
       if (table(b + s) == fp) { table(b + s) = 0; count -= 1; return true }
       s += 1
     }
+    if (victimUsed && victimFp == fp.toInt && (victimBucket == i1 || victimBucket == i2)) {
+      victimUsed = false; victimFp = 0; victimBucket = 0
+      count -= 1
+      return true
+    }
     false
   }
 
@@ -154,39 +178,21 @@ final class CuckooFilter(val numBuckets: Int, val fpBits: Int = 12,
       var s = 0
       while (s < SlotsPerBucket && ok) {
         val fp = other.table(base + s).toInt
-        if (fp != 0) ok = insertFingerprint(b, fp)
+        if (fp != 0) ok = insertCore(b, fp)
         s += 1
       }
       b += 1
     }
+    if (ok && other.victimUsed) ok = insertCore(other.victimBucket, other.victimFp)
     ok
-  }
-
-  private def insertFingerprint(origin: Int, fp: Int): Boolean = {
-    if (tryInsertAt(origin, fp) || tryInsertAt(altBucket(origin, fp), fp)) { count += 1; true }
-    else {
-      var b = origin
-      var f = fp
-      var n = 0
-      while (n < MaxKicks) {
-        kickState = mix(kickState)
-        val s = ((kickState >>> 8) % SlotsPerBucket).toInt.abs
-        val base = slotBase(b)
-        val evicted = table(base + s).toInt
-        table(base + s) = f.toChar
-        f = evicted
-        b = altBucket(b, f)
-        if (tryInsertAt(b, f)) { count += 1; return true }
-        n += 1
-      }
-      false
-    }
   }
 
   def serialized: Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(CuckooFilter.Magic)
     dos.writeInt(numBuckets); dos.writeInt(fpBits); dos.writeLong(count)
+    dos.writeBoolean(victimUsed); dos.writeInt(victimFp); dos.writeInt(victimBucket)
     var i = 0
     while (i < table.length) { dos.writeChar(table(i)); i += 1 }
     dos.flush()
@@ -203,18 +209,30 @@ object CuckooFilter {
     new CuckooFilter(buckets.toInt, fpBits)
   }
 
+  /** Format tag ("CUKF") distinguishing cuckoo bytes from SeenBloom bytes
+    * in manifests that may carry either. */
+  val Magic: Int = 0x43554B46
+
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = dis.readInt()
+    require(magic == Magic, f"not a CuckooFilter byte stream (tag 0x$magic%08X)")
     val numBuckets = dis.readInt(); val fpBits = dis.readInt(); val count = dis.readLong()
+    val vUsed = dis.readBoolean(); val vFp = dis.readInt(); val vBucket = dis.readInt()
     val cf = new CuckooFilter(numBuckets, fpBits)
-    val field = classOf[CuckooFilter].getDeclaredField("table")
-    field.setAccessible(true)
-    val table = field.get(cf).asInstanceOf[Array[Char]]
-    var i = 0
-    while (i < table.length) { table(i) = dis.readChar(); i += 1 }
-    val cnt = classOf[CuckooFilter].getDeclaredField("count")
-    cnt.setAccessible(true)
-    cnt.setLong(cf, count)
+    def set(name: String, f: java.lang.reflect.Field => Unit): Unit = {
+      val fld = classOf[CuckooFilter].getDeclaredField(name)
+      fld.setAccessible(true); f(fld)
+    }
+    set("table", f => {
+      val table = f.get(cf).asInstanceOf[Array[Char]]
+      var i = 0
+      while (i < table.length) { table(i) = dis.readChar(); i += 1 }
+    })
+    set("count", _.setLong(cf, count))
+    set("victimUsed", _.setBoolean(cf, vUsed))
+    set("victimFp", _.setInt(cf, vFp))
+    set("victimBucket", _.setInt(cf, vBucket))
     cf
   }
 }

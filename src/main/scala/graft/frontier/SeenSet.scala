@@ -51,6 +51,7 @@ final class SeenBloom(val shards: Int, expectedPerShard: Long, fpp: Double) exte
   def serialized: Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(SeenBloom.Magic) // "BLMF" tag: manifests may carry either filter type
     dos.writeInt(shards)
     filters.foreach { f =>
       val b = new ByteArrayOutputStream()
@@ -74,8 +75,13 @@ object SeenBloom {
       b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** Format tag ("BLMF") distinguishing bloom bytes from CuckooFilter bytes. */
+  val Magic: Int = 0x424C4D46
+
   def deserialize(bytes: Array[Byte]): SeenBloom = {
     val dis = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = dis.readInt()
+    require(magic == Magic, f"not a SeenBloom byte stream (tag 0x$magic%08X)")
     val shards = dis.readInt()
     val sb = new SeenBloom(shards, 1L, 0.5) // placeholder filters, replaced below
     var i = 0

@@ -64,15 +64,47 @@ class FilterSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(build().serialized, build().serialized))
   }
 
+  test("cuckoo: victim cache keeps residents on overload (Fan et al. construction)") {
+    val cf = new CuckooFilter(16, 8) // 64 slots: saturates fast
+    val inserted = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    var full = false
+    while (!full && i < 1000) {
+      val k = s"key-$i"
+      if (cf.put(k)) inserted += k else full = true
+      i += 1
+    }
+    assert(full) // the filter did saturate
+    // every successfully-inserted key is still reported present: the
+    // homeless fingerprint of the failed kick chain went to the victim
+    // slot instead of silently dropping a resident
+    inserted.foreach(k => assert(cf.mightContain(k), s"lost $k"))
+    // serialization round-trips the victim slot and the "CUKF" tag
+    val back = CuckooFilter.deserialize(cf.serialized)
+    inserted.foreach(k => assert(back.mightContain(k)))
+    assert(back.size == cf.size)
+    // and bloom bytes are refused (distinct framing)
+    val bloomBytes = new SeenBloom(2, 100L, 0.01).serialized
+    assertThrows[IllegalArgumentException](CuckooFilter.deserialize(bloomBytes))
+  }
+
   test("template render: raw/query/path/host filters (urlTemplate.ts:1-103)") {
     import graft.core.UrlTemplate
     val vars = Map("q" -> "best cafés & bars", "host" -> "My-Site.EXAMPLE.com!", "p" -> "a b/c")
+    // query = encodeURIComponent semantics: space -> %20, not '+'
     assert(UrlTemplate.render("https://{{host|host}}/search?q={{q|query}}", vars) ==
-      "https://my-site.example.com/search?q=best+caf%C3%A9s+%26+bars")
-    assert(UrlTemplate.render("/{{p|path}}", vars) == "/a%20b%2Fc")
+      "https://my-site.example.com/search?q=best%20caf%C3%A9s%20%26%20bars")
+    // path restores '/' after encoding (urlTemplate.ts:38)
+    assert(UrlTemplate.render("/{{p|path}}", vars) == "/a%20b/c")
     assert(UrlTemplate.render("{{q}}", vars) == "best cafés & bars")      // raw default
-    assert(UrlTemplate.render("{{missing}}-x", vars) == "-x")             // unknown var -> empty
-    assert(UrlTemplate.render("{{q|bogus}}", vars) == "best cafés & bars") // unknown filter -> raw
+    // missing variable keeps the placeholder verbatim (urlTemplate.ts:70-73)
+    assert(UrlTemplate.render("{{missing}}-x", vars) == "{{missing}}-x")
+    // unknown filter -> regex does not match -> placeholder untouched
+    assert(UrlTemplate.render("{{q|bogus}}", vars) == "{{q|bogus}}")
+    // \{{ escapes a literal {{
+    assert(UrlTemplate.render("""\{{q}} = {{q}}""", vars) == "{{q}} = best cafés & bars")
+    // renderText: filters inert
+    assert(UrlTemplate.renderText("{{q|query}}", vars) == "best cafés & bars")
   }
 
   test("property: template render is total on arbitrary inputs") {
