@@ -176,6 +176,7 @@ final class CrawlEngine(
   private def loop(): Unit = {
     var gen = generation
     applyCancellations()
+    applyExpiry()
     while (activeJobs.nonEmpty && gen < settings.maxGenerations) {
       // NOTE: each generation re-roots from parquet deliberately — carrying
       // a persisted Dataset across supersteps embeds the previous plan into
@@ -194,6 +195,20 @@ final class CrawlEngine(
       gen += 1
       generation = gen
       applyCancellations()
+      applyExpiry()
+    }
+  }
+
+  /** Job-TTL sweep at the superstep barrier (the analog of Worker.ts's
+    * periodic expired-pending cleanup; TTL default 3h as in the reference's
+    * jobExpireAt column default). Jobs with createdAtMs == 0 never expire. */
+  private def applyExpiry(): Unit = {
+    val now = settings.clockMs()
+    progress = progress.map { case (j, p) =>
+      val c = configs(j)
+      if (!p.finalized && c.createdAtMs > 0 && now > c.createdAtMs + settings.jobTtlMs)
+        (j, p.copy(finalized = true, finalizeReason = "expired"))
+      else (j, p)
     }
   }
 
@@ -670,6 +685,9 @@ object CrawlEngine {
       saltBuckets: Int = 32,
       maxGenerations: Int = 1000,
       compactEvery: Int = 8,
+      // jobExpireAt default: creation + 3h (db/schemas/PostgreSQL.ts:79)
+      jobTtlMs: Long = 3L * 60 * 60 * 1000,
+      clockMs: () => Long = () => System.currentTimeMillis(),
       bloomMinBatch: Long = 65536L,
       saltMinBatch: Long = 65536L,
       corpusRowsPerPartition: Long = 4096L,

@@ -58,7 +58,10 @@ final case class CrawlConfig(
     userAgent: String = "graftbot",
     maxAttempts: Int = 3,                       // BullMQ budget (Queue.ts:83)
     formats: Extractor.Formats = Extractor.Formats(),
-    filterAdDomains: Boolean = false) {         // P7 (EngineConfigurator.ts:166-190)
+    filterAdDomains: Boolean = false,
+    // job creation time; 0 = no expiry. Jobs expire jobTtlMs after creation
+    // (PostgreSQL.ts:79 default NOW()+3h; swept by Worker.ts:238-329)
+    createdAtMs: Long = 0L) {         // P7 (EngineConfigurator.ts:166-190)
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */

@@ -130,6 +130,77 @@ object GoogleSerp {
   }
 }
 
+/**
+ * AC-Engine search backend (`packages/search/src/engines/ACEngine.ts:1-120`):
+ * a JSON API with direct-limit support (`supportsDirectLimit = true` — one
+ * request serves an arbitrary limit, so no page fan-out).
+ */
+object AcSerp {
+
+  /** ACEngine.ts:23-45: q/start/limit/lang/country/timeRange/safe_search/
+    * sources params; when limit is absent but page given, limit = page*10. */
+  def buildSearchUrl(baseUrl: String, o: GoogleSerp.SearchOptions,
+      sources: Option[String] = None): String = {
+    val base = baseUrl.replaceAll("/$", "")
+    val effectiveLimit: Option[Int] =
+      if (o.limit > 0) Some(o.limit)
+      else if (o.page > 0) Some(o.page * 10)
+      else None
+    val params = Seq("q" -> o.query, "start" -> o.offset.toString) ++
+      effectiveLimit.map(l => "limit" -> l.toString) ++
+      o.lang.map("lang" -> _) ++
+      o.country.map("country" -> _) ++
+      o.timeRange.map("timeRange" -> _) ++
+      o.safeSearch.map(ss => "safe_search" -> ss.toString) ++
+      sources.map("sources" -> _)
+    val qs = params.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    s"$base/search?$qs"
+  }
+
+  /** ACEngine.ts:60-116: `results` array -> category union; entries without
+    * a url are skipped; source defaults to "AC-Engine"; positions are the
+    * item's own when present, else the 1-based ordinal. */
+  def parse(query: String, page: Int, json: String): Seq[SerpRow] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = try JsonMethods.parse(json) catch { case _: Exception => return Nil }
+    val results = parsed \ "results" match {
+      case JArray(items) => items
+      case _ => return Nil
+    }
+    var ord = 0
+    results.flatMap { item =>
+      def str(k: String): Option[String] = item \ k match {
+        case JString(v) if v.nonEmpty => Some(v); case _ => None
+      }
+      def int(k: String): Option[Int] = item \ k match {
+        case JInt(v) => Some(v.toInt); case _ => None
+      }
+      str("url").map { url =>
+        ord += 1
+        val category = str("category").getOrElse("web")
+        val desc = str("description").orElse(str("snippet")).getOrElse("")
+        val source = str("source").getOrElse("AC-Engine")
+        val pos = int("position").getOrElse(ord)
+        category match {
+          case "images" =>
+            SerpRow(query, page, pos, "images", str("title").getOrElse(""), url, desc,
+              source, imageUrl = str("imageUrl"),
+              imageWidth = int("imageWidth"), imageHeight = int("imageHeight"))
+          case "news" =>
+            SerpRow(query, page, pos, "news", str("title").getOrElse(""), url, desc,
+              source, snippet = str("snippet"), date = str("date"),
+              imageUrl = str("imageUrl"))
+          case _ =>
+            SerpRow(query, page, pos, "web", str("title").getOrElse(""), url, desc, source)
+        }
+      }
+    }
+  }
+}
+
 object SearxngSerp {
   private val resolutionRe = """(\d+)\s*[×x]\s*(\d+)""".r
 
@@ -188,6 +259,7 @@ object SerpTransforms {
       p.engine match {
         case "google" => GoogleSerp.parse(p.query, p.page, p.payload)
         case "searxng" => SearxngSerp.parse(p.query, p.page, p.payload)
+        case "ac-engine" | "ac" => AcSerp.parse(p.query, p.page, p.payload)
         case _ => Nil
       }
     }

@@ -77,4 +77,34 @@ class SerpSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows.map(_.page).toSet == Set(1, 2))
   }
+  test("AC-Engine JSON parse + direct-limit URL (ACEngine.ts:23-116)") {
+    val json = """{"results": [
+      {"url": "https://a.test/1", "title": "One", "description": "d1", "category": "web"},
+      {"url": "https://a.test/2", "title": "Two", "snippet": "s2"},
+      {"title": "NoUrl skipped"},
+      {"url": "https://a.test/img", "category": "images", "title": "Img",
+       "imageUrl": "https://a.test/i.png", "imageWidth": 640, "imageHeight": 480, "position": 9},
+      {"url": "https://a.test/news", "category": "news", "title": "News",
+       "snippet": "ns", "date": "2026-01-01"}
+    ]}"""
+    val rows = AcSerp.parse("q", 1, json)
+    assert(rows.map(_.url) == Seq("https://a.test/1", "https://a.test/2",
+      "https://a.test/img", "https://a.test/news"))
+    assert(rows(1).description == "s2")             // snippet fallback
+    assert(rows.forall(_.source == "AC-Engine"))    // default source
+    assert(rows(2).position == 9 && rows(2).imageWidth.contains(640))
+    assert(rows(3).category == "news" && rows(3).date.contains("2026-01-01"))
+    assert(AcSerp.parse("q", 1, "not json").isEmpty)
+
+    val url = AcSerp.buildSearchUrl("http://ac.example.test/",
+      GoogleSerp.SearchOptions("cats dogs", offset = 5, limit = 30, lang = Some("de")),
+      sources = Some("web,news"))
+    assert(url == "http://ac.example.test/search?q=cats+dogs&start=5&limit=30&lang=de&sources=web%2Cnews")
+
+    // typed transform routes by engine name
+    val s2 = spark; import s2.implicits._
+    val pages = s2.createDataset(Seq(SerpTransforms.SerpPage("ac-engine", "q", 1, json)))
+    assert(SerpTransforms.parseAll(spark, pages).collect().length == 4)
+  }
+
 }
