@@ -40,28 +40,36 @@ object Cleaner {
 
   /** transformHtml (HTMLTransformer.ts:77-88): absolutize URLs then clean;
     * returns serialized HTML. */
-  def transformHtml(doc: Html.Doc, baseUrl: String, opts: Options = Options()): String = {
+  def transformHtml(doc: Html.Doc, baseUrl: String, opts: Options = Options()): String =
+    transformDoc(doc, baseUrl, opts) match {
+      case Left(root) => Html.renderChildren(root) // include_tags projection
+      case Right(d)   => Html.render(d)
+    }
+
+  /** DOM-level variant of [[transformHtml]] for callers that feed the
+    * markdown converter directly (no serialize/re-parse roundtrip):
+    * Left(divRoot) for the include_tags projection (render its CHILDREN),
+    * Right(doc) for the standard cleaning path. The input doc is never
+    * mutated. */
+  def transformDoc(doc: Html.Doc, baseUrl: String,
+      opts: Options = Options()): Either[Html.Elem, Html.Doc] = {
     val clone = doc.deepCopy
     if (opts.transformRelativeUrls) rewriteUrls(clone, baseUrl)
-    extractCleanHtml(clone, opts)
-  }
-
-  /** doExtractCleanHtml (HTMLTransformer.ts:105-143). Mutates `doc`. */
-  def extractCleanHtml(doc: Html.Doc, opts: Options): String = {
     if (opts.includeTags.nonEmpty) {
       // Projection mode: collect matches under a fresh <div> root (:109-122)
       val root = new Html.Elem("div", Vector.empty, scala.collection.mutable.ArrayBuffer.empty)
       opts.includeTags.foreach { sel =>
-        Html.select(doc, sel).foreach(m => root.children += m.deepCopy)
+        Html.select(clone, sel).foreach(m => root.children += m.deepCopy)
       }
-      Html.renderChildren(root)
+      Left(root)
     } else {
-      removeSelectors(doc, ExcludeNonMainTags)
-      if (opts.excludeTags.nonEmpty) removeSelectors(doc, opts.excludeTags)
-      Html.removeComments(doc)
-      Html.render(doc)
+      removeSelectors(clone, ExcludeNonMainTags)
+      if (opts.excludeTags.nonEmpty) removeSelectors(clone, opts.excludeTags)
+      Html.removeComments(clone)
+      Right(clone)
     }
   }
+
 
   def removeSelectors(doc: Html.Doc, selectors: Seq[String]): Unit = {
     val chains = selectors.flatMap(Selector.parseSelector)

@@ -62,12 +62,26 @@ object Extractor {
     val links: Seq[String] =
       if (formats.links) LinkExtractor.extract(doc, url) else Nil
 
+    // One cleaned DOM serves both the html format (rendered) and the
+    // markdown converter (DOM handoff — no serialize/re-parse roundtrip);
+    // text shares the raw parse. Byte-identity across these paths is pinned
+    // by the golden corpus.
     val needClean = formats.html || formats.markdown
+    val cleanedDoc: Option[Either[Html.Elem, Html.Doc]] =
+      if (needClean) Some(Cleaner.transformDoc(doc, url, cleanOpts)) else None
     val cleaned: Option[String] =
-      if (needClean) Some(Cleaner.transformHtml(doc, url, cleanOpts)) else None
+      if (formats.html) cleanedDoc.map {
+        case Left(root) => Html.renderChildren(root)
+        case Right(d)   => Html.render(d)
+      } else None
 
-    val markdown = if (formats.markdown) cleaned.map(Markdown.fromHtml) else None
-    val text = if (formats.text) Some(TextExtract.fromHtml(rawHtml)) else None
+    // fromCleanedDoc mutates its input — run it AFTER the html render
+    val markdown =
+      if (formats.markdown) cleanedDoc.map {
+        case Left(root) => Markdown.fromCleanedDoc(root)
+        case Right(d)   => Markdown.fromCleanedDoc(d)
+      } else None
+    val text = if (formats.text) Some(TextExtract.fromDoc(doc)) else None
 
     Extracted(url, title, metadata,
       if (formats.html) cleaned else None,

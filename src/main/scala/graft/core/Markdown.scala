@@ -60,6 +60,75 @@ object Markdown {
   private val JsWs =
     "\\t\\n\\x0B\\f\\r \\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
 
+  /** Collapse space/CR/LF/tab runs to one space without regex when the
+    * input is already collapsed (the common case after the string pre-pass). */
+  private def collapseRuns(t: String): String = {
+    var i = 0
+    var needs = false
+    while (i < t.length && !needs) {
+      val c = t.charAt(i)
+      if (c == '\r' || c == '\n' || c == '\t') needs = true
+      else if (c == ' ' && i + 1 < t.length) {
+        val d = t.charAt(i + 1)
+        if (d == ' ' || d == '\r' || d == '\n' || d == '\t') needs = true
+      }
+      i += 1
+    }
+    if (!needs) return t
+    val sb = new StringBuilder(t.length)
+    var inRun = false
+    i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == ' ' || c == '\r' || c == '\n' || c == '\t') {
+        if (!inRun) sb.append(' ')
+        inRun = true
+      } else { sb.append(c); inRun = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** First character of the subtree's textContent, early-exit (no
+    * materialization); NUL when the subtree has no text. */
+  private def firstTextChar(e: Html.Elem): Char = {
+    val it = e.children.iterator
+    while (it.hasNext) it.next() match {
+      case Html.Text(t) => if (t.nonEmpty) return t.charAt(0)
+      case el: Html.Elem =>
+        val c = firstTextChar(el)
+        if (c != '\u0000') return c
+      case _ =>
+    }
+    '\u0000'
+  }
+
+  private def lastTextChar(e: Html.Elem): Char = {
+    val it = e.children.reverseIterator
+    while (it.hasNext) it.next() match {
+      case Html.Text(t) => if (t.nonEmpty) return t.charAt(t.length - 1)
+      case el: Html.Elem =>
+        val c = lastTextChar(el)
+        if (c != '\u0000') return c
+      case _ =>
+    }
+    '\u0000'
+  }
+
+  /** Early-exit equivalent of `e.text.trim.nonEmpty` (Scala trim: any char
+    * above U+0020 counts as visible). */
+  private def hasVisibleText(e: Html.Elem): Boolean = {
+    val it = e.children.iterator
+    while (it.hasNext) it.next() match {
+      case Html.Text(t) =>
+        var i = 0
+        while (i < t.length) { if (t.charAt(i) > ' ') return true; i += 1 }
+      case el: Html.Elem => if (hasVisibleText(el)) return true
+      case _ =>
+    }
+    false
+  }
+
   private def isJsWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' ||
     c == '\u00a0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200a') ||
@@ -69,15 +138,99 @@ object Markdown {
   /** Full pipeline: preprocess raw HTML string (JS-\s semantics,
     * html-to-markdown.ts:5-8), parse, collapse whitespace, convert,
     * postprocess. */
+  private val InterTagWsRe = java.util.regex.Pattern.compile(s">[$JsWs]+<")
+  private val AnyWsRunRe = java.util.regex.Pattern.compile(s"[$JsWs]+")
+
   def fromHtml(html: String): String = {
-    val pre = html
-      .replaceAll(s">[$JsWs]+<", "><")
-      .replaceAll(s"[$JsWs]+", " ")
+    val pre = AnyWsRunRe.matcher(
+        InterTagWsRe.matcher(html).replaceAll("><"))
+      .replaceAll(" ")
       .trim
     val doc = Html.parse(pre)
     collapseWhitespace(doc)
     val body = processChildren(doc, Nil)
     postprocess(body)
+  }
+
+  /**
+   * Convert an already-parsed (cleaned) DOM, skipping the serialize ->
+   * string-preprocess -> re-parse roundtrip of [[fromHtml]] (~25% of kernel
+   * time at 20 KB pages). [[domPreprocess]] applies the string pre-pass's
+   * exact effect directly on the tree, so the output is byte-identical —
+   * verified by the golden corpus, whose cases flow through this path.
+   * (Sole knowing exception: the string form also collapses whitespace
+   * inside an attribute value that itself contains `"> <"`, corrupting the
+   * attribute — a reference quirk this path does not reproduce.)
+   * MUTATES the given DOM; pass a copy if the caller still needs it.
+   */
+  def fromCleanedDoc(doc: Html.Elem): String = {
+    domPreprocess(doc)
+    collapseWhitespace(doc)
+    postprocess(processChildren(doc, Nil))
+  }
+
+  /** The DOM equivalent of the reference's string pre-pass
+    * (`>\s+<` removal + JS-`\s+` -> " " + trim) on SERIALIZED html:
+    *  - whitespace-only text nodes between tags disappear;
+    *  - whitespace runs collapse to one space in text AND attribute values —
+    *    except U+00A0, which the serializer protects as `&nbsp;`;
+    *  - doc-edge whitespace is trimmed. */
+  private def domPreprocess(root: Html.Elem): Unit = {
+    def isCollapsibleWs(c: Char): Boolean = c != ' ' && isJsWs(c)
+    def collapseJs(t: String): String = {
+      var i = 0
+      var needs = false
+      while (i < t.length && !needs) {
+        val c = t.charAt(i)
+        if (isCollapsibleWs(c) && (c != ' ' ||
+            (i + 1 < t.length && isCollapsibleWs(t.charAt(i + 1))))) needs = true
+        i += 1
+      }
+      if (!needs) return t
+      val sb = new StringBuilder(t.length)
+      var inRun = false
+      i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (isCollapsibleWs(c)) {
+          if (!inRun) sb.append(' ')
+          inRun = true
+        } else { sb.append(c); inRun = false }
+        i += 1
+      }
+      sb.toString
+    }
+    def wsOnly(t: String): Boolean = {
+      var i = 0
+      while (i < t.length) { if (!isCollapsibleWs(t.charAt(i))) return false; i += 1 }
+      t.nonEmpty
+    }
+    def go(e: Html.Elem): Unit = {
+      e.children.filterInPlace {
+        case Html.Text(t) => !wsOnly(t)
+        case _ => true
+      }
+      e.children.foreach {
+        case t: Html.Text => t.text = collapseJs(t.text)
+        case el: Html.Elem =>
+          if (el.attrs.nonEmpty)
+            el.attrs = el.attrs.map { case (k, v) => (k, collapseJs(v)) }
+          go(el)
+        case _ =>
+      }
+    }
+    go(root)
+    // doc-edge trim (the string pre-pass's .trim)
+    root.children.headOption match {
+      case Some(t: Html.Text) if t.text.startsWith(" ") => t.text = t.text.substring(1)
+      case _ =>
+    }
+    root.children.lastOption match {
+      case Some(t: Html.Text) if t.text.endsWith(" ") =>
+        t.text = t.text.substring(0, t.text.length - 1)
+      case _ =>
+    }
+    root.children.filterInPlace { case Html.Text(t) => t.nonEmpty; case _ => true }
   }
 
   // --------------------------------------------------- collapse-whitespace
@@ -99,7 +252,7 @@ object Markdown {
       while (i < e.children.length) {
         e.children(i) match {
           case t: Html.Text =>
-            var s = t.text.replaceAll("[ \\r\\n\\t]+", " ")
+            var s = collapseRuns(t.text)
             if ((prevText == null || prevText.text.endsWith(" ")) &&
                 !keepLeadingWs && s.startsWith(" "))
               s = s.substring(1)
@@ -108,7 +261,8 @@ object Markdown {
           case el: Html.Elem =>
             val tag = el.tag
             if (isBlock(tag) || tag == "br") {
-              if (prevText != null) prevText.text = prevText.text.replaceAll(" $", "")
+              if (prevText != null && prevText.text.endsWith(" "))
+                prevText.text = prevText.text.substring(0, prevText.text.length - 1)
               prevText = null
               keepLeadingWs = false
               visit(el)
@@ -128,7 +282,8 @@ object Markdown {
     }
     visit(root)
     if (prevText != null) {
-      prevText.text = prevText.text.replaceAll(" $", "")
+      if (prevText.text.endsWith(" "))
+        prevText.text = prevText.text.substring(0, prevText.text.length - 1)
       if (prevText.text.isEmpty) empties += ((prevTextParent, prevText))
     }
     empties.foreach { case (parent, node) =>
@@ -195,6 +350,13 @@ object Markdown {
     * ASCII edges are abolished when the adjacent sibling already supplies
     * whitespace (isFlankedByWhitespace). Block nodes have no flanking. */
   private def flanking(node: Html.Elem, ancestors: List[Html.Elem]): (String, String) = {
+    // fast path: both textContent edges are non-whitespace (the overwhelming
+    // majority of inline elements) -> no flanking, no subtree materialization
+    val fc = firstTextChar(node)
+    if (fc != '\u0000' && !isJsWs(fc)) {
+      val lc = lastTextChar(node)
+      if (lc != '\u0000' && !isJsWs(lc)) return ("", "")
+    }
     val txt = node.text
     EdgeWsRe.findFirstMatchIn(txt) match {
       case Some(m) =>
@@ -221,8 +383,8 @@ object Markdown {
       case Some(Html.Text(t)) =>
         if (left) t.endsWith(" ") else t.startsWith(" ")
       case Some(e: Html.Elem) if !isBlock(e.tag) =>
-        val t = e.text
-        if (left) t.endsWith(" ") else t.startsWith(" ")
+        val c = if (left) lastTextChar(e) else firstTextChar(e)
+        c == ' '.toInt
       case _ => false
     }
 
@@ -282,7 +444,7 @@ object Markdown {
           val (prev, next) = siblingsOf(ancestors.headOption, node)
           def textual(n: Option[Html.Node]): Boolean = n match {
             case Some(Html.Text(s)) => s.trim.nonEmpty
-            case Some(e: Html.Elem) if e.tag == "span" => e.text.trim.nonEmpty
+            case Some(e: Html.Elem) if e.tag == "span" => hasVisibleText(e)
             case _ => false
           }
           val prefix = if (textual(prev)) " " else ""

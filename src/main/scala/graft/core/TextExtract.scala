@@ -40,8 +40,11 @@ object TextExtract {
   private val softBlocks: Set[String] = Set(
     "article", "aside", "div", "footer", "form", "header", "main", "nav")
 
-  def fromHtml(html: String): String = {
-    val doc = Html.parse(html)
+  def fromHtml(html: String): String = fromDoc(Html.parse(html))
+
+  /** Variant over an already-parsed document (the extraction kernel parses
+    * the raw html once and shares the DOM). Does not mutate `doc`. */
+  def fromDoc(doc: Html.Doc): String = {
     // baseElements: ['body'] — process body when present, whole doc otherwise
     val base = Html.selectFirst(doc, "body").getOrElse(doc)
     val out = new Out
@@ -119,11 +122,15 @@ object TextExtract {
       }
     }
     if (cur.nonEmpty || lines.isEmpty) lines += cur.toString
-    lines.zipWithIndex.map { case (l, i) =>
+    val joined = lines.zipWithIndex.map { case (l, i) =>
       if (i == 0) prefix + l
       else (" " * prefix.length) + l
-    }.mkString("\n").replaceAll("(?m)\\s+$", "")
+    }.mkString("\n")
+    TrailWsRe.matcher(joined).replaceAll("")
   }
+
+  private val WsSplitRe = java.util.regex.Pattern.compile("[ \\t\\r\\n\\f\\u200b]+")
+  private val TrailWsRe = java.util.regex.Pattern.compile("(?m)\\s+$")
 
   private def isV9Ws(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '\u200b'
@@ -133,7 +140,7 @@ object TextExtract {
     // v9 whitespaceCharacters ' \t\r\n\f​' — U+00A0 is a word character
     val leadWs = isV9Ws(t.charAt(0))
     val trailWs = isV9Ws(t.charAt(t.length - 1))
-    val parts = t.split("[ \\t\\r\\n\\f\\u200b]+").filter(_.nonEmpty)
+    val parts = WsSplitRe.split(t).filter(_.nonEmpty)
     if (parts.isEmpty) { ctx.openWord = false; return }
     var rest: Seq[String] = parts.toSeq
     if (!leadWs && ctx.openWord && ctx.words.nonEmpty && (ctx.words.last ne Break)) {

@@ -61,7 +61,17 @@ final class CrawlEngine(
     // scales with the data instead of paying a fixed 32-task scan.
     val nDefault = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val cnt = pages.count()
-    val parts = math.max(1L, math.min(cnt / settings.corpusRowsPerPartition + 1L, nDefault.toLong * 32L)).toInt
+    // Count-based sizing ONLY while every possible batch still takes the
+    // broadcast fetch path (batch <= corpus <= broadcastBatchMax). Beyond
+    // that the shuffled-hash join kicks in, and its exchange reuse demands
+    // the corpus partitioning EQUAL spark.sql.shuffle.partitions — any other
+    // count re-shuffles the whole corpus every generation (measured: 12 s/
+    // generation at 100k pages x 8 cores). shuffle.partitions is the knob
+    // that scales both sides together on a real cluster.
+    val parts =
+      if (cnt <= settings.broadcastBatchMax)
+        math.max(1L, cnt / settings.corpusRowsPerPartition + 1L).toInt
+      else nDefault
     pages.select(col(settings.pagesUrlColumn).as("__purl"), col(settings.pagesHtmlColumn).as("__phtml"))
       .repartition(parts, col("__purl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
