@@ -125,6 +125,40 @@ object Graft {
       .toDF("url", "scraped_title", "scraped_markdown", "scraped_text")
   }
 
+  final case class SearchTotals(
+      query: String, totalTasks: Long, completedTasks: Long,
+      failedTasks: Long, resultCount: Long, creditsUsed: Long)
+
+  /**
+   * A5 search task totals + credits (SearchController.ts:169-231): a
+   * page-task succeeds when the SERP corpus holds its (query, page) payload;
+   * with scrapeResults one scrape task per returned result, completed when
+   * the page corpus contains the url; credits = pages + completed scrapes
+   * (json-extraction surcharges are an LLM non-goal; defaultPrice env = 0).
+   */
+  def searchTotals(spark: SparkSession, serpPages: Dataset[SerpTransforms.SerpPage],
+      req: SearchRequest, scrapeCorpus: Option[DataFrame] = None): SearchTotals = {
+    val expectedPages = math.max(1, req.pages).toLong
+    val slice = serpPages.filter(
+      col("query") === req.query && col("page") >= 1 && col("page") <= req.pages)
+    val successPages = slice.select(col("page")).distinct().count()
+    val failedPages = expectedPages - successPages
+    val results = search(spark, serpPages, req, None)
+    val resultCount = results.count()
+    val (scrapeTotal, scrapeDone) = scrapeCorpus match {
+      case Some(corpus) if req.scrapeResults =>
+        val done = results.join(corpus.select(col("url")), Seq("url"), "left_semi").count()
+        (resultCount, done)
+      case _ => (0L, 0L)
+    }
+    SearchTotals(req.query,
+      totalTasks = expectedPages + scrapeTotal,
+      completedTasks = successPages + scrapeDone,
+      failedTasks = failedPages + (scrapeTotal - scrapeDone),
+      resultCount = resultCount,
+      creditsUsed = expectedPages + scrapeDone)
+  }
+
   /** Results pagination (W4: CrawlController.ts:228-239 skip/limit over
     * job_results, default page size 100): ordered by canonical seq. */
   def crawlResults(trace: DataFrame, offset: Int = 0, limit: Int = 100): DataFrame =

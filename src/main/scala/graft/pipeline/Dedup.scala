@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udf
 
 /**
  * Deduplication operators for large-scale training-data pipelines, over a
@@ -34,25 +35,91 @@ object Dedup {
       .filter(col("cluster_size") > 1)
 
   /** Word n-gram shingles of `textCol` as an array column (codegen-friendly:
-    * split + sequence + transform, no UDF). */
+    * split + sequence + transform, no UDF). NOT de-duplicated: min-hashing
+    * is multiset-invariant, and set semantics (Jaccard) are applied to the
+    * 64-bit shingle HASHES, where array_distinct takes the primitive fast
+    * path — array_distinct over a string array was measured at ~85% of the
+    * whole LSH pipeline's cost. */
   def shingles(textCol: Column, n: Int): Column = {
     val tokens = split(lower(textCol), "\\W+")
     val toks = filter(tokens, t => length(t) > 0)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** 64-bit hash per shingle (xxhash64) — computed ONCE per shingle; every
+    * downstream lane/band mixes these longs instead of re-encoding strings. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  /**
+   * Scala shingle+hash kernel: tokenize, n-gram, xxhash64 each shingle in
+   * one pass. Same shingle strings and the same digest as
+   * `xxhash64(shingle)` (seed-42 xxHash64 over UTF-8 bytes), but ~3 orders
+   * of magnitude cheaper per document: higher-order Column functions
+   * (transform/filter/aggregate) evaluate INTERPRETED per element — the
+   * Column formulation of this pipeline measured ~1.7 ms/doc on 300-char
+   * documents, all of it expression-interpreter overhead.
+   */
+  def shingleHashArray(text: String, n: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val count = math.max(toks.length - n, 0) + 1
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n && i + k < toks.length) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = graft.frontier.SeenBloom.hash64(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature from pre-hashed shingles (Scala kernel): lane j of
+    * shingle hash h is an xxHash64 chain over (h, j). */
+  def minhashFromHashes(hs: Array[Long], numHashes: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val base = XXH64.hashLong(hs(i), 42L)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashLong(j.toLong, base)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
   }
 
   /**
-   * MinHash signature: `numHashes` minima of seeded xxhash64 over the shingle
-   * set — pure Column expressions (`transform` + `array_min`), so the whole
-   * signature computation stays inside whole-stage codegen.
+   * MinHash signature over pre-hashed shingles: `numHashes` minima of
+   * seeded xxhash64 over the 64-bit shingle hashes — pure Column
+   * expressions (`transform` + `array_min`) inside whole-stage codegen.
+   * Hashing longs instead of strings makes the `numHashes`-lane sweep
+   * ~an order of magnitude cheaper (strings are hashed exactly once,
+   * in [[shingleHashes]]).
    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(j))))
-    }: _*)
+  def minhashSignature(shingleHashCol: Column, numHashes: Int): Column =
+    // ONE fold with a zip_with inner lambda, not `numHashes` unrolled
+    // array_min(transform(...)) lanes: the unrolled form generated ~MBs of
+    // codegen source whose janino compilation dominated the whole LSH pass
+    // (the data is array math; the driver was the bottleneck). Hash values
+    // are identical: lane j of shingle h is xxhash64(h, j) either way.
+    aggregate(
+      shingleHashCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, xxhash64(h, j))))
 
   /**
    * MinHash + LSH near-duplicate pairs (shingle -> minhash -> band ->
@@ -78,13 +145,15 @@ object Dedup {
     // The shingle cache is load-bearing: without it, ProjectCollapsing
     // inlines the shingle pipeline into every one of the `numHashes` hash
     // lanes (measured 30x slowdown at 32 hashes).
+    val shingleUdf = udf((t: String) => shingleHashArray(t, shingleSize))
+    val sigUdf = udf((hs: Seq[Long]) => minhashFromHashes(hs.toArray, numHashes))
     val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("shh"))
+      .filter(size(col("shh")) > 0)
       .cache()
     val sig = sh
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .filter(size(col("sig")) === numHashes && !exists(col("sig"), v => v.isNull))
+      .select(col("id"), sigUdf(col("shh")).as("sig"))
+      .filter(size(col("sig")) === numHashes)
       .cache()
 
     val banded = sig.select(
@@ -166,7 +235,10 @@ object Dedup {
     val p = pairs.cache()
     val ids = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // intersect/union over 64-bit shingle hashes, not strings: identical
+    // Jaccard up to ~2^-64 collision probability, far cheaper set ops
+    val shingleSetUdf = udf((t: String) => shingleHashArray(t, n).distinct)
+    val sh = df.select(col(idCol).as("id"), shingleSetUdf(col(textCol)).as("sh"))
       .join(ids, Seq("id"), "left_semi")
       .cache()
     p

@@ -90,6 +90,25 @@ class GraftApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u1.contains("start=3") && u2.contains("start=13")) // offset + (page-1)*perPage
   }
 
+  test("searchTotals: page + scrape task accounting and credits (A5)") {
+    val s = spark; import s.implicits._
+    // pages 1 and 2 exist in the corpus; page 3 is requested but missing
+    val serp = s.createDataset(Seq(
+      SerpTransforms.SerpPage("google", "q1", 1, SerpGen.googleHtml(7L, 10)),
+      SerpTransforms.SerpPage("google", "q1", 2, SerpGen.googleHtml(8L, 10))))
+    val t = Graft.searchTotals(spark, serp,
+      Graft.SearchRequest("q1", limit = 6, pages = 3))
+    assert(t.totalTasks == 3 && t.completedTasks == 2 && t.failedTasks == 1)
+    assert(t.resultCount == 6)
+    assert(t.creditsUsed == 3) // pages only, no scrape tasks
+
+    val tScrape = Graft.searchTotals(spark, serp,
+      Graft.SearchRequest("q1", limit = 6, pages = 2, scrapeResults = true),
+      scrapeCorpus = Some(pagesDf))
+    assert(tScrape.totalTasks == 2 + tScrape.resultCount)
+    assert(tScrape.creditsUsed == 2 + (tScrape.completedTasks - 2)) // pages + completed scrapes
+  }
+
   test("planSearch: pagination fan-out (W3: start = offset + (page-1)*perPage)") {
     val plan = Graft.planSearch(spark, Seq(
       graft.serp.GoogleSerp.SearchOptions(query = "spark", limit = 25)))
