@@ -48,11 +48,6 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
 
-  /** 64-bit hash per shingle (xxhash64) — computed ONCE per shingle; every
-    * downstream lane/band mixes these longs instead of re-encoding strings. */
-  def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => xxhash64(s))
-
   /**
    * Scala shingle+hash kernel: tokenize, n-gram, xxhash64 each shingle in
    * one pass. Same shingle strings and the same digest as
@@ -100,26 +95,6 @@ object Dedup {
     }
     sig
   }
-
-  /**
-   * MinHash signature over pre-hashed shingles: `numHashes` minima of
-   * seeded xxhash64 over the 64-bit shingle hashes — pure Column
-   * expressions (`transform` + `array_min`) inside whole-stage codegen.
-   * Hashing longs instead of strings makes the `numHashes`-lane sweep
-   * ~an order of magnitude cheaper (strings are hashed exactly once,
-   * in [[shingleHashes]]).
-   */
-  def minhashSignature(shingleHashCol: Column, numHashes: Int): Column =
-    // ONE fold with a zip_with inner lambda, not `numHashes` unrolled
-    // array_min(transform(...)) lanes: the unrolled form generated ~MBs of
-    // codegen source whose janino compilation dominated the whole LSH pass
-    // (the data is array math; the driver was the bottleneck). Hash values
-    // are identical: lane j of shingle h is xxhash64(h, j) either way.
-    aggregate(
-      shingleHashCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, j) => least(m, xxhash64(h, j))))
 
   /**
    * MinHash + LSH near-duplicate pairs (shingle -> minhash -> band ->
