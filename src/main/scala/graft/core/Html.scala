@@ -49,6 +49,10 @@ object Html {
       val c = new Elem(tag, attrs, ArrayBuffer.empty)
       children.foreach {
         case e: Elem => c.children += e.deepCopy
+        // Text is MUTABLE (the markdown collapse/preprocess passes edit it
+        // in place) — sharing instances across copies leaks those edits
+        // into the raw DOM the text extractor reads
+        case Text(t) => c.children += Text(t)
         case other   => c.children += other
       }
       c

@@ -206,11 +206,23 @@ object Markdown {
       t.nonEmpty
     }
     def go(e: Html.Elem): Unit = {
-      e.children.filterInPlace {
-        case Html.Text(t) => !wsOnly(t)
-        case _ => true
-      }
+      // 1. coalesce adjacent text nodes: in the serialized form they are one
+      //    maximal text run (element removal by the Cleaner is what creates
+      //    adjacency), and run boundaries decide both the `>\s+<` removal
+      //    and `^`-anchored markdown escapes downstream
+      val merged = scala.collection.mutable.ArrayBuffer[Html.Node]()
       e.children.foreach {
+        case t: Html.Text =>
+          merged.lastOption match {
+            case Some(p: Html.Text) => p.text = p.text + t.text
+            case _ => merged += t
+          }
+        case other => merged += other
+      }
+      // 2. whitespace-only runs sit between tags in the serialized form ->
+      //    removed; everything else collapses
+      merged.filterInPlace { case Html.Text(t) => !wsOnly(t); case _ => true }
+      merged.foreach {
         case t: Html.Text => t.text = collapseJs(t.text)
         case el: Html.Elem =>
           if (el.attrs.nonEmpty)
@@ -218,6 +230,7 @@ object Markdown {
           go(el)
         case _ =>
       }
+      e.children = merged
     }
     go(root)
     // doc-edge trim (the string pre-pass's .trim)
