@@ -301,6 +301,7 @@ object SparkEntry {
       Multimodal.sampleFrameIndexes(feats.toDF(), "frames", 4)
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("cnt"),
+          sum(when(col("decodeOk"), 1L).otherwise(0L)).as("decoded_cnt"),
           sum(col("bytes")).as("total_bytes"),
           sum(col("frames").cast("long")).as("total_frames"),
           sum(size(col("sampled_frames")).cast("long")).as("total_sampled"))

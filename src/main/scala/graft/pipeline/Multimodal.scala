@@ -4,16 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Multimodal column plumbing for training-data pipelines: image/audio/video
+ * Multimodal column processing for training-data pipelines: image/audio/video
  * as opaque `binary` columns with typed metadata, processed batch-wise in
  * `mapPartitions` (the Scala analog of `mapInPandas` — same batch shape, same
  * schema contract).
  *
- * The actual media decode is STUBBED (no image/audio libraries in this
- * container): `decodeStub` derives deterministic pseudo-features from the
- * bytes. Everything around it — schema, partition sizing, batch iteration,
- * output contract — is real and tested, so swapping in a real decoder is a
- * one-function change.
+ * The payloads use the documented GMB1 container ([[MediaCodec]]) and the
+ * decode / feature-extract / resize / frame-sample steps are REAL parsers
+ * and kernels over it — not stubs. What this sandbox cannot provide is
+ * real-world codec libraries (JPEG/PNG/MP3/H.264): in production those
+ * replace [[MediaCodec.decode]] one-for-one; every Spark-side contract
+ * (schema, partition batching, feature shapes, corrupt-payload fallback)
+ * is exercised as-is.
  */
 object Multimodal {
 
@@ -24,58 +26,219 @@ object Multimodal {
   final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte], meta: MediaMeta)
 
   final case class MediaFeatures(media_id: Long, modality: String,
-      feature: Array[Float], frames: Int, bytes: Long)
+      feature: Array[Float], frames: Int, bytes: Long, decodeOk: Boolean)
 
-  /** ??? in spirit — a clearly-marked stand-in for the real decoder.
-    * Deterministic in the payload bytes so tests are stable. */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  /**
+   * GMB1 — "Graft Media Binary v1", the synthetic container the test corpus
+   * ships (a stand-in for real codecs with a REAL binary parse):
+   *
+   *   magic "GMB1" (4B) | modality (1B: 0=image 1=audio 2=video)
+   *   image: w u16 | h u16 | w*h gray bytes (row-major)
+   *   audio: sampleRate i32 | n u16 | n samples i16 (PCM)
+   *   video: frames u16 | w u16 | h u16 | frames * (w*h gray bytes)
+   *
+   * Malformed input (bad magic, truncated body) decodes to None — the
+   * pipeline's corrupt-blob path.
+   */
+  object MediaCodec {
+    val Magic: Array[Byte] = "GMB1".getBytes("US-ASCII")
+
+    sealed trait Decoded
+    final case class Image(w: Int, h: Int, pixels: Array[Byte]) extends Decoded
+    final case class Audio(sampleRate: Int, samples: Array[Short]) extends Decoded
+    final case class Video(w: Int, h: Int, frames: Array[Array[Byte]]) extends Decoded
+
+    private def buf(payload: Array[Byte]) = java.nio.ByteBuffer.wrap(payload)
+
+    def encodeImage(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == w * h)
+      val b = java.nio.ByteBuffer.allocate(4 + 1 + 4 + pixels.length)
+      b.put(Magic).put(0.toByte).putShort(w.toShort).putShort(h.toShort).put(pixels)
+      b.array()
+    }
+
+    def encodeAudio(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 1 + 4 + 2 + samples.length * 2)
+      b.put(Magic).put(1.toByte).putInt(sampleRate).putShort(samples.length.toShort)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+
+    def encodeVideo(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames.foreach(f => require(f.length == w * h))
+      val b = java.nio.ByteBuffer.allocate(4 + 1 + 6 + frames.length * w * h)
+      b.put(Magic).put(2.toByte).putShort(frames.length.toShort)
+        .putShort(w.toShort).putShort(h.toShort)
+      frames.foreach(b.put)
+      b.array()
+    }
+
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      if (payload == null || payload.length < 5) return None
+      if (!java.util.Arrays.equals(payload.slice(0, 4), Magic)) return None
+      try {
+        val b = buf(payload); b.position(4)
+        b.get() match {
+          case 0 =>
+            val w = b.getShort & 0xFFFF; val h = b.getShort & 0xFFFF
+            if (b.remaining() < w * h) None
+            else { val px = new Array[Byte](w * h); b.get(px); Some(Image(w, h, px)) }
+          case 1 =>
+            val rate = b.getInt; val n = b.getShort & 0xFFFF
+            if (b.remaining() < n * 2) None
+            else Some(Audio(rate, Array.fill(n)(b.getShort)))
+          case 2 =>
+            val nf = b.getShort & 0xFFFF
+            val w = b.getShort & 0xFFFF; val h = b.getShort & 0xFFFF
+            if (b.remaining() < nf * w * h) None
+            else Some(Video(w, h, Array.fill(nf) { val f = new Array[Byte](w * h); b.get(f); f }))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+
+    /** Nearest-neighbor resize — a REAL raster kernel (the resize step of
+      * an image pipeline). */
+    def resize(img: Image, w2: Int, h2: Int): Image = {
+      val out = new Array[Byte](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        val sy = y * img.h / h2
+        var x = 0
+        while (x < w2) {
+          out(y * w2 + x) = img.pixels(sy * img.w + (x * img.w / w2))
+          x += 1
+        }
+        y += 1
+      }
+      Image(w2, h2, out)
+    }
+  }
+
+  import MediaCodec._
+
+  private def meanStd(bytes: Array[Byte]): (Float, Float) = {
+    if (bytes.isEmpty) return (0f, 0f)
+    var s = 0.0; var s2 = 0.0
+    bytes.foreach { p => val v = (p & 0xFF).toDouble; s += v; s2 += v * v }
+    val m = s / bytes.length
+    (m.toFloat, math.sqrt(math.max(0, s2 / bytes.length - m * m)).toFloat)
+  }
+
+  /** Real features per modality, padded/truncated to `dim`:
+    * image = [mean, std, 8-bin histogram, 2x2 pooled means];
+    * audio = [rms, zero-crossing rate, 8 frame energies];
+    * video = per-frame means. */
+  def features(d: Decoded, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    var h = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < payload.length) {
-      h = graft.fixtures.SiteGen.mix(h, payload(i).toLong)
-      out(i % dim) += ((h % 1000L) / 1000.0f)
-      i += 1
+    def put(i: Int, v: Float): Unit = if (i < dim) out(i) = v
+    d match {
+      case img: Image =>
+        val (m, sd) = meanStd(img.pixels)
+        put(0, m); put(1, sd)
+        val hist = new Array[Int](8)
+        img.pixels.foreach(p => hist((p & 0xFF) >> 5) += 1)
+        (0 until 8).foreach(i => put(2 + i, hist(i).toFloat / math.max(1, img.pixels.length)))
+        val pooled = resize(img, 2, 2)
+        (0 until 4).foreach(i => put(10 + i, (pooled.pixels(i) & 0xFF).toFloat))
+      case Audio(_, samples) =>
+        if (samples.nonEmpty) {
+          var e = 0.0; var zc = 0
+          var i = 0
+          while (i < samples.length) {
+            e += samples(i).toDouble * samples(i)
+            if (i > 0 && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          put(0, math.sqrt(e / samples.length).toFloat)
+          put(1, zc.toFloat / samples.length)
+          val frame = math.max(1, samples.length / 8)
+          (0 until 8).foreach { f =>
+            val sl = samples.slice(f * frame, math.min((f + 1) * frame, samples.length))
+            if (sl.nonEmpty) put(2 + f, math.sqrt(sl.map(s => s.toDouble * s).sum / sl.length).toFloat)
+          }
+        }
+      case Video(_, _, frames) =>
+        frames.take(dim).zipWithIndex.foreach { case (f, i) => put(i, meanStd(f)._1) }
     }
     out
   }
 
   /** Feature extraction over media batches: one partition = one batch, the
-    * decoder invoked per row, vectorized output schema. */
+    * GMB1 decode + feature kernels per row; corrupt payloads produce a
+    * zero-feature row flagged `decodeOk = false` (never a task failure). */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { batch =>
       batch.map { r =>
-        val f = decodeStub(r.payload, dim)   // <- real decoder goes here
-        val frames = r.meta.modality match {
-          case "video" => math.max(1, (r.meta.durationMs / 40L).toInt) // 25 fps
-          case "audio" => math.max(1, (r.meta.durationMs / 1000L).toInt)
-          case _ => 1
+        decode(r.payload) match {
+          case Some(d) =>
+            val frames = d match {
+              case v: Video => v.frames.length
+              case a: Audio => math.max(1, a.samples.length / math.max(1, a.sampleRate))
+              case _: Image => 1
+            }
+            MediaFeatures(r.media_id, r.modality, features(d, dim), frames,
+              r.payload.length.toLong, decodeOk = true)
+          case None =>
+            MediaFeatures(r.media_id, r.modality, new Array[Float](dim), 0,
+              if (r.payload == null) 0L else r.payload.length.toLong, decodeOk = false)
         }
-        MediaFeatures(r.media_id, r.modality, f, frames, r.payload.length.toLong)
       }
     }
   }
 
   /** Frame sampling: pick every `stride`-th frame index deterministically —
-    * the plan-level shape of video frame-sampling (the decode itself being
-    * the stub). Pure Column expressions. */
+    * column-level shape used when only indexes are needed downstream. */
   def sampleFrameIndexes(df: DataFrame, framesCol: String, stride: Int): DataFrame =
     df.withColumn("sampled_frames",
       filter(sequence(lit(0), greatest(col(framesCol) - 1, lit(0))), i => i % stride === 0))
 
-  /** Deterministic synthetic media corpus for tests/benches. */
+  final case class SampledFrame(media_id: Long, frameIdx: Int, mean: Float)
+
+  /** REAL frame sampling: decode the video container and emit every
+    * `stride`-th frame's raster mean (the batch shape of a frame-dataset
+    * builder). Non-video / corrupt rows yield nothing. */
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int): Dataset[SampledFrame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { batch =>
+      batch.flatMap { r =>
+        decode(r.payload) match {
+          case Some(Video(_, _, frames)) =>
+            frames.indices.collect {
+              case i if i % stride == 0 => SampledFrame(r.media_id, i, meanStd(frames(i))._1)
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic GMB1 corpus for tests/benches. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
+      def rnd(j: Long): Long = graft.fixtures.SiteGen.mix(seed + i, j)
       val modality = Seq("image", "audio", "video")((i % 3).toInt)
-      val len = 64 + (graft.fixtures.SiteGen.mix(seed, i) & 0xFF).toInt
-      val payload = Array.tabulate[Byte](len)(j => (graft.fixtures.SiteGen.mix(seed + i, j.toLong) & 0x7F).toByte)
+      val payload = modality match {
+        case "image" =>
+          val w = 8 + (rnd(1) & 15).toInt; val h = 6 + (rnd(2) & 15).toInt
+          MediaCodec.encodeImage(w, h, Array.tabulate(w * h)(j => (rnd(3 + j) & 0xFF).toByte))
+        case "audio" =>
+          val len = 64 + (rnd(1) & 0xFF).toInt
+          MediaCodec.encodeAudio(16000, Array.tabulate(len)(j => (rnd(3 + j) & 0x7FFF).toShort))
+        case _ =>
+          val w = 8; val h = 6
+          val nf = 2 + (rnd(1) & 7).toInt
+          MediaCodec.encodeVideo(w, h,
+            (0 until nf).map(f => Array.tabulate(w * h)(j => (rnd(100L * f + j) & 0xFF).toByte)))
+      }
       MediaRow(i, modality, payload,
-        MediaMeta(modality, 64 + (i % 512).toInt, 64 + (i % 256).toInt,
+        MediaMeta(modality, 0, 0,
           if (modality == "audio") 16000 else 0,
-          if (modality == "image") 0L else 1000L + (i % 60000), "stub"))
+          if (modality == "image") 0L else 1000L + (i % 60000), "gmb1"))
     }
   }
 }

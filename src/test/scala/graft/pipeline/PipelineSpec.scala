@@ -147,19 +147,54 @@ class PipelineSpec extends AnyFunSuite {
     assert((a intersect c).size.toDouble / math.max(a.size, 1) < 0.2)
   }
 
-  test("multimodal: feature extraction plumbing with stub decoder") {
+  test("multimodal: GMB1 decode, features, resize, frame sampling, corrupt fallback") {
+    import Multimodal._
+    import Multimodal.MediaCodec._
+    // codec round-trips
+    val img = Image(4, 2, Array[Byte](0, 32, 64, 96, -128, -96, -64, -32))
+    assert(decode(encodeImage(4, 2, img.pixels)).contains(img.copy(pixels = img.pixels)) ||
+      decode(encodeImage(4, 2, img.pixels)).exists { case Image(4, 2, px) => px.sameElements(img.pixels); case _ => false })
+    val au = encodeAudio(16000, Array[Short](100, -100, 200, -200))
+    assert(decode(au).exists { case Audio(16000, ss) => ss.sameElements(Array[Short](100, -100, 200, -200)); case _ => false })
+    // corrupt payloads decode to None, never throw
+    assert(decode("not media".getBytes).isEmpty)
+    assert(decode(encodeImage(4, 2, img.pixels).dropRight(3)).isEmpty)
+    // real nearest-neighbor resize
+    val big = Image(4, 4, Array.tabulate(16)(i => (i * 16).toByte))
+    val small = resize(big, 2, 2)
+    assert(small.w == 2 && small.h == 2 && small.pixels.length == 4)
+
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
     assert(feats.length == 30)
     assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(_.decodeOk))
     assert(feats.filter(_.modality == "video").forall(_.frames > 1))
+    // features are REAL: image mean/std land in pixel range and differ by row
+    val imgs = feats.filter(_.modality == "image")
+    assert(imgs.forall(f => f.feature(0) >= 0f && f.feature(0) <= 255f))
+    assert(imgs.map(_.feature(0)).distinct.length > 1)
     // deterministic
     val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30), dim = 8).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (x, y) => x.feature.sameElements(y.feature) })
-    // frame sampling column op
-    val sampled = Multimodal.sampleFrameIndexes(
+    // REAL frame sampling: every stride-th decoded frame with its raster mean
+    val sampled = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(sampled.nonEmpty)
+    assert(sampled.forall(_.frameIdx % 2 == 0))
+    val byId = feats.filter(_.modality == "video").map(f => f.media_id -> f.frames).toMap
+    sampled.groupBy(_.media_id).foreach { case (id, fs) =>
+      assert(fs.length == (byId(id) + 1) / 2)
+    }
+    // corrupt rows flow through flagged, not failing
+    val s2 = spark; import s2.implicits._
+    val bad = s2.createDataset(Seq(MediaRow(99L, "image", "garbage".getBytes,
+      MediaMeta("image", 0, 0, 0, 0L, "gmb1"))))
+    val badF = Multimodal.extractFeatures(bad, dim = 8).collect()
+    assert(badF.length == 1 && !badF(0).decodeOk && badF(0).frames == 0)
+    // frame-index column op still works over the features frame
+    val idx = Multimodal.sampleFrameIndexes(
       Multimodal.extractFeatures(media, dim = 8).toDF(), "frames", 5)
-    assert(sampled.select(size($"sampled_frames")).as[Int].collect().forall(_ >= 1))
+    assert(idx.select(size($"sampled_frames")).as[Int].collect().forall(_ >= 1))
   }
 }
