@@ -233,6 +233,28 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(st.exists(s => s.done == before.toLong))
   }
 
+  test("seen compaction: trace/seen unchanged, resume across a compaction point") {
+    val cfg = CrawlConfig("jcmp", Seq("https://host0.example.test/p0.html"), limit = 40)
+    // compact aggressively (every 2 dirs) vs the default
+    val sComp = settings.copy(compactEvery = 2)
+    val dirA = tmpDir("jcmpA")
+    val engA = new CrawlEngine(spark, pagesDf, dirA, Map.empty, sComp)
+    engA.run(Seq(cfg))
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg))
+    assertTraceEqual(engineTrace(engA), oracle.trace)
+    val seenA = engA.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seenA == oracle.seen)
+    // kill mid-crawl AFTER at least one compaction, then resume
+    val dirB = tmpDir("jcmpB")
+    val cut = new CrawlEngine(spark, pagesDf, dirB, Map.empty, sComp.copy(maxGenerations = 4))
+    cut.run(Seq(cfg))
+    val resumed = new CrawlEngine(spark, pagesDf, dirB, Map.empty, sComp)
+    resumed.resume(Seq(cfg))
+    assertTraceEqual(engineTrace(resumed), oracle.trace)
+    val seenB = resumed.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seenB == oracle.seen)
+  }
+
   test("multi-job crawl keeps jobs independent") {
     val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
     val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
