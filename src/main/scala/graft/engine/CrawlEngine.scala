@@ -146,7 +146,7 @@ final class CrawlEngine(
       throw new IllegalStateException(s"no committed generation under $workDir"))
     progress = m.progress.map(p => p.jobId -> p).toMap
     seqOffsets = m.seqOffsets
-    bloom = SeenBloom.deserialize(java.nio.file.Files.readAllBytes(ckpt.bloomPath(m.generation)))
+    bloom = ckpt.loadBloom(m.generation)
     generation = m.generation + 1
     lastPendTotal = Long.MaxValue // unknown -> conservative two-phase plans
     ckpt.truncateAfter(generation) // drop partial output of a crashed gen
@@ -625,7 +625,8 @@ final class CrawlEngine(
     val pendCounts = pendAcc.value
     lastPendTotal = pendCounts.values.sum
     val freshCounts = freshAcc.value
-    hashAcc.value.foreach(bloom.putHash)
+    val freshHashes = hashAcc.value
+    freshHashes.foreach(bloom.putHash)
     freshCounts.foreach { case (j, n) =>
       progress += j -> progress(j).copy(enqueued = progress(j).enqueued + n)
     }
@@ -647,7 +648,12 @@ final class CrawlEngine(
       partitionLineage = lineage,
       fetchedPages = batchCount,
       extractedDocs = statJobs.toSeq.map(j => stat(j, "succ")).sum,
-      wallMillis = System.currentTimeMillis() - t0), bloom.serialized) }
+      wallMillis = System.currentTimeMillis() - t0),
+      // full filter snapshot only on the compaction cadence; other
+      // generations persist just the fresh-hash delta (see Checkpoint)
+      bloomSnapshot = if (settings.compactEvery <= 0 || gen % math.max(1, settings.compactEvery) == 0)
+        Some(bloom.serialized) else None,
+      bloomDelta = freshHashes) }
 
     true
   }

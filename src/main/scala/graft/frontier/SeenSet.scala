@@ -26,6 +26,17 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * At 10^10 keys / 1% fpp a single filter is ~12 GB — too big to broadcast;
  * the `shards` knob splits the key space by `hash % shards` so each
  * broadcast piece stays executor-friendly, at identical semantics.
+ * Checkpointing is incremental (per-generation fresh-hash deltas, full
+ * snapshots only at the compaction cadence — Checkpoint.commit), so the
+ * filter is never serialized per superstep. The residual design risk at
+ * 1e10 is driver RESIDENCY of the filter itself: the production evolution
+ * is to co-locate each shard with its seen-compaction bucket (the filter
+ * becomes a per-bucket sidecar file, rebuilt during compaction from the
+ * bucket's keys) and evaluate `mightContain` shard-locally after the
+ * candidate shuffle on `hash % shards` — same semantics, no single-node
+ * copy of the full filter anywhere. The engine's adaptive bloom gating
+ * (`bloomMinBatch`) already routes small supersteps around the broadcast
+ * entirely, so the sidecar path only needs to exist at genuine scale.
  */
 final class SeenBloom(val shards: Int, expectedPerShard: Long, fpp: Double) extends Serializable {
   val filters: Array[BloomFilter] =
