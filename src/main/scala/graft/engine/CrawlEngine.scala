@@ -70,7 +70,7 @@ final class CrawlEngine(
     // that scales both sides together on a real cluster.
     val parts =
       if (cnt <= settings.broadcastBatchMax)
-        math.max(1L, cnt / settings.corpusRowsPerPartition + 1L).toInt
+        math.min(nDefault.toLong, math.max(1L, cnt / settings.corpusRowsPerPartition + 1L)).toInt
       else nDefault
     pages.select(col(settings.pagesUrlColumn).as("__purl"), col(settings.pagesHtmlColumn).as("__phtml"))
       .repartition(parts, col("__purl"))
@@ -85,6 +85,20 @@ final class CrawlEngine(
 
   private val robotsRules: Map[String, Robots.RobotRules] =
     robotsBodies.map { case (h, b) => (h, Robots.parse(b)) }
+
+  /** Run-constant broadcasts, shipped ONCE per run instead of per superstep.
+    * (Measured: ~3-5 tiny TorrentBroadcast writes per generation added
+    * 50-100 ms of driver latency each superstep at bench scale.) Lazy so
+    * they capture `configs` after run()/resume() assigns it. */
+  private lazy val cfgB = spark.sparkContext.broadcast(configs)
+  private lazy val robotsB = spark.sparkContext.broadcast(robotsRules)
+  private lazy val budgetB =
+    spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.hostBudgetPerStep.toLong })
+
+  /** Frontier parquet schema, pinned on every read: saves the per-generation
+    * footer-sniffing schema inference (a driver-side file read per source). */
+  private val frontierSchema =
+    org.apache.spark.sql.Encoders.product[CrawlEngine.FrontierRowF].schema
 
   final case class Report(
       generations: Int,
@@ -170,7 +184,8 @@ final class CrawlEngine(
     val parts: Seq[DataFrame] =
       compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
       (if (tailPaths.nonEmpty)
-         Seq(spark.read.parquet(tailPaths: _*).where($"__fresh").select($"jobId", $"urlNorm"))
+         Seq(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
+           .where($"__fresh").select($"jobId", $"urlNorm"))
        else Nil)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     parts.reduce(_ unionByName _)
@@ -192,7 +207,7 @@ final class CrawlEngine(
       // a persisted Dataset across supersteps embeds the previous plan into
       // the next one (pend is referenced several times per step), so plan
       // trees grow exponentially with generations.
-      val frontier = spark.read.parquet(ckpt.frontierPath(gen))
+      val frontier = spark.read.schema(frontierSchema).parquet(ckpt.frontierPath(gen))
         .select("jobId", "url", "urlNorm", "host", "depth", "priority", "parentUrl", "attempt")
         .as[FrontierEntry]
       val madeProgress = phase(gen, "superstep-total") { superstep(gen, frontier) }
@@ -278,12 +293,12 @@ final class CrawlEngine(
     // the pre-rank only exists to keep a hot key out of a single overloaded
     // window partition, which cannot matter below saltMinBatch rows
     val smallStep = lastPendTotal < settings.saltMinBatch
-    val budgets = active.map(c => c.jobId -> c.hostBudgetPerStep).toMap
-    val needPoliteness = budgets.values.exists(_ != Int.MaxValue)
+    val needPoliteness = active.exists(_.hostBudgetPerStep != Int.MaxValue)
     val polite =
       if (!needPoliteness) pend.toDF()
       else {
-        val budgetCol = jobLookup(budgets.map { case (k, v) => k -> v.toLong })($"jobId")
+        val bb = budgetB
+        val budgetCol = udf((j: String) => bb.value(j): Long).apply($"jobId")
         val w2 = Window.partitionBy($"jobId", $"host").orderBy(ordCols: _*)
         val pre =
           if (smallStep) pend.toDF()
@@ -344,6 +359,7 @@ final class CrawlEngine(
     }
     val batchCount = partStats.map(_._2).sum
     if (batchCount == 0) { sortedBase.unpersist(false); return false }
+    val tFetchBuild = System.nanoTime()
     // partition offset = total rows in lower-numbered partitions
     val byPi = partStats.sortBy(_._1)
     val partOffsets: Map[Int, Long] = {
@@ -402,7 +418,7 @@ final class CrawlEngine(
     // One mapPartitions pass produces ALL formats + out-links; the links
     // column rides along in the results parquet so link expansion reads the
     // materialized output instead of recomputing the kernel.
-    val cfgB = spark.sparkContext.broadcast(configs)
+    val cfgBv = cfgB
     val genV = gen
     // A1-A3 accounting rides the extract pass as an accumulator instead of a
     // separate groupBy-collect job: the extracted stage is consumed by
@@ -411,7 +427,7 @@ final class CrawlEngine(
     val statAcc = new CrawlEngine.LongMapAcc
     spark.sparkContext.register(statAcc, s"crawl-stats-gen$gen")
     val extracted = fetched.as[CrawlEngine.FetchedRow].mapPartitions { it =>
-      val cfgs = cfgB.value
+      val cfgs = cfgBv.value
       it.map { r =>
         val cfg = cfgs(r.jobId)
         val ts = java.time.Instant.now().toString
@@ -446,7 +462,9 @@ final class CrawlEngine(
     // pass; link expansion and the retry/deferral joins read the cache
     // (columnar, pruned) instead of re-reading the parquet just written
     extracted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (timing) System.err.println(f"[timing] gen=$gen fetch-build ${(System.nanoTime() - tFetchBuild) / 1e9}%.2f s")
     phase(gen, "fetch-extract-write") { extracted.write.mode("overwrite").parquet(ckpt.resultsPath(gen)) }
+    val tAcct = System.nanoTime()
     sortedBase.unpersist(false)
 
     val res = extracted.toDF()
@@ -466,18 +484,19 @@ final class CrawlEngine(
     }
 
     val tExp = System.nanoTime()
+    if (timing) System.err.println(f"[timing] gen=$gen acct ${(tExp - tAcct) / 1e9}%.2f s")
     // ------------------------------------------------- link expansion P2-P5
     val enqueuedSoFar = progress.map { case (j, p) => j -> p.enqueued }
     val enqB = spark.sparkContext.broadcast(enqueuedSoFar)
-    val robotsB = spark.sparkContext.broadcast(robotsRules)
+    val robotsBv = robotsB
     val candRaw = res
       .filter($"success" && $"terminal")
       .select($"jobId", $"seq", $"url".as("parentUrl"), $"depth",
         posexplode($"links").as(Seq("idx", "childUrl")))
       .as[CrawlEngine.CandRow]
       .mapPartitions { it =>
-        val cfgs = cfgB.value
-        val robots = robotsB.value
+        val cfgs = cfgBv.value
+        val robots = robotsBv.value
         val enqueued = enqB.value
         val pats = new scala.collection.mutable.HashMap[String, (Seq[java.util.regex.Pattern], Seq[java.util.regex.Pattern])]()
         it.flatMap { c =>
@@ -547,7 +566,8 @@ final class CrawlEngine(
     val seenParts: Seq[DataFrame] =
       compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
       (if (tailPaths.nonEmpty)
-         Seq(spark.read.parquet(tailPaths: _*).where($"__fresh").select($"jobId", $"urlNorm"))
+         Seq(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
+           .where($"__fresh").select($"jobId", $"urlNorm"))
        else Nil)
     val survivors = seenParts.reduceOption(_ unionByName _) match {
       case None => positives
@@ -580,15 +600,22 @@ final class CrawlEngine(
     }
 
     // next frontier = (pending - batch) ∪ retries ∪ fresh.
-    // Retries keep their original frontier row (priority unchanged, so the
-    // canonical order is preserved) with attempt+1 — recovered by joining
-    // the non-terminal result keys back against the pending set.
-    val batchKeys = res.select($"jobId", $"urlNorm")
-    val deferred = pend.join(batchKeys, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
-    val retriesWithPrio = pend.toDF().join(
-        res.filter(!$"terminal").select($"jobId", $"urlNorm", ($"attempt" + 1).as("__nextAttempt")),
-        Seq("jobId", "urlNorm"), "inner")
-      .withColumn("attempt", $"__nextAttempt").drop("__nextAttempt")
+    // Deferrals and retries come out of ONE left-outer join of the pending
+    // set against the batch's result keys (unique per (jobId, urlNorm)):
+    // unmatched rows defer unchanged, matched non-terminal rows retry with
+    // attempt+1 (priority unchanged, so the canonical order is preserved),
+    // matched terminal rows leave the frontier. Build side = the batch-sized
+    // key set (broadcast below the threshold, pinned SHJ above — the pending
+    // set is never the build side).
+    val resKeys = res.select($"jobId".as("__rj"), $"urlNorm".as("__ru"),
+      $"terminal".as("__rterm"), ($"attempt" + 1).as("__rnext"))
+    val resKeysHinted =
+      if (batchCount <= settings.broadcastBatchMax) resKeys.hint("broadcast")
+      else resKeys.hint("shuffle_hash")
+    val carried = pend.toDF()
+      .join(resKeysHinted, $"jobId" === $"__rj" && $"urlNorm" === $"__ru", "left_outer")
+      .filter($"__rterm".isNull || !$"__rterm")
+      .withColumn("attempt", when($"__rterm".isNotNull, $"__rnext").otherwise($"attempt"))
       .select($"jobId", $"url", $"urlNorm", $"host", $"depth", $"priority", $"parentUrl", $"attempt")
       .as[FrontierEntry]
 
@@ -607,8 +634,7 @@ final class CrawlEngine(
     spark.sparkContext.register(pendAcc, s"crawl-pending-gen$gen")
     spark.sparkContext.register(freshAcc, s"crawl-fresh-gen$gen")
     spark.sparkContext.register(hashAcc, s"crawl-hashes-gen$gen")
-    val nextFrontier = deferred.map(CrawlEngine.FrontierRowF.of(_, fresh = false))
-      .unionByName(retriesWithPrio.map(CrawlEngine.FrontierRowF.of(_, fresh = false)))
+    val nextFrontier = carried.map(CrawlEngine.FrontierRowF.of(_, fresh = false))
       .unionByName(fresh.map(CrawlEngine.FrontierRowF.of(_, fresh = true)))
       .mapPartitions { it =>
         it.map { r =>
@@ -621,6 +647,7 @@ final class CrawlEngine(
         }
       }
     phase(gen, "frontier-write") { nextFrontier.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
+    val tPost = System.nanoTime()
     extracted.unpersist(false)
     val pendCounts = pendAcc.value
     lastPendTotal = pendCounts.values.sum
@@ -639,6 +666,7 @@ final class CrawlEngine(
       }
     }
 
+    if (timing) System.err.println(f"[timing] gen=$gen post ${(System.nanoTime() - tPost) / 1e9}%.2f s")
     phase(gen, "commit") { ckpt.commit(GenManifest(
       generation = gen,
       progress = progress.values.toSeq.sortBy(_.jobId),
@@ -685,7 +713,8 @@ final class CrawlEngine(
     val parts: Seq[DataFrame] =
       compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
       (if (tailPaths.nonEmpty)
-         Seq(spark.read.parquet(tailPaths: _*).where($"__fresh").select($"jobId", $"urlNorm"))
+         Seq(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
+           .where($"__fresh").select($"jobId", $"urlNorm"))
        else Nil)
     parts.reduceOption(_ unionByName _).map(_.distinct()).getOrElse(spark.emptyDataFrame)
   }
@@ -706,7 +735,11 @@ object CrawlEngine {
       clockMs: () => Long = () => System.currentTimeMillis(),
       bloomMinBatch: Long = 65536L,
       saltMinBatch: Long = 65536L,
-      corpusRowsPerPartition: Long = 4096L,
+      // 256 rows/partition below the broadcast threshold: the extraction
+      // kernel runs in the corpus-probe stage, so corpus partitions ARE the
+      // extraction parallelism — 4096 left a 2k-page bench corpus in ONE
+      // cached partition and serialized the kernel (measured 0.5s/gen -> 0.15)
+      corpusRowsPerPartition: Long = 256L,
       broadcastBatchMax: Long = 65536L)
 
   final case class SeqEntry(jobId: String, url: String, urlNorm: String, host: String,

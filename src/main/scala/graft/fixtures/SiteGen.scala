@@ -128,6 +128,16 @@ object SiteGen {
     sb.toString
   }
 
+  /** (hostIdx, page) of the flat corpus index `idx` (row-major over
+    * [[hostSizes]]) — lets executors generate page i independently from
+    * `spark.range(sizes.sum)` with no driver-side corpus materialization. */
+  def hostPage(sizes: Vector[Int], idx: Long): (Int, Int) = {
+    var h = 0
+    var rem = idx
+    while (rem >= sizes(h)) { rem -= sizes(h); h += 1 }
+    (h, rem.toInt)
+  }
+
   /** All rows for the corpus; the `text` column is the extraction contract
     * (TextExtract defines the spec; goldens lock it byte-exactly). */
   def rows(seed: Long, totalPages: Int, nHosts: Int): Iterator[PageRow] = {
