@@ -106,6 +106,30 @@ final class Checkpoint(workDir: String) {
     bloom
   }
 
+  /**
+   * Total committed row count of a parquet directory, from file FOOTERS only
+   * (a driver-side metadata read per file — no Spark job, no data pages).
+   * This is the ground truth the write barrier reconciles accumulator-derived
+   * counters against: accumulator updates inside *transformations* can be
+   * applied more than once when a task or stage re-executes (speculation,
+   * fetch failure, cache-evicted partition rebuilt), but the commit protocol
+   * admits exactly one file set — so `footerRows == accumulatorTotal` proves
+   * no re-execution inflated the counters (updates cannot under-count: they
+   * ride task success, and only successful tasks commit files).
+   */
+  def committedRowCount(dir: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   def readManifest(gen: Int): Option[GenManifest] = {
     val p = manifestPath(gen)
     if (Files.exists(p)) Some(Serialization.read[GenManifest](Files.readString(p))) else None

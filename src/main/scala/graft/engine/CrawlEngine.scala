@@ -426,17 +426,23 @@ final class CrawlEngine(
     // merged exactly once (no stage re-execution, no speculation here).
     val statAcc = new CrawlEngine.LongMapAcc
     spark.sparkContext.register(statAcc, s"crawl-stats-gen$gen")
+    val chaosV = settings.chaosAccumulatorDoubleFire
     val extracted = fetched.as[CrawlEngine.FetchedRow].mapPartitions { it =>
       val cfgs = cfgBv.value
+      // chaos hook: partition 0 reports its counter updates twice — exactly
+      // what a re-executed-but-already-merged task does to a transformation
+      // accumulator; the footer reconciliation below must absorb it
+      val dbl = chaosV && org.apache.spark.TaskContext.getPartitionId() == 0
+      def bump(k: String): Unit = { statAcc.add(k -> 1L); if (dbl) statAcc.add(k -> 1L) }
       it.map { r =>
         val cfg = cfgs(r.jobId)
         val ts = java.time.Instant.now().toString
-        statAcc.add(r.jobId + "\u001ffetched" -> 1L)
+        bump(r.jobId + "\u001ffetched")
         if (r.__phtml == null) {
           val terminal = r.attempt + 1 >= cfg.maxAttempts
           if (terminal) {
-            statAcc.add(r.jobId + "\u001fdone" -> 1L)
-            statAcc.add(r.jobId + "\u001ffail" -> 1L)
+            bump(r.jobId + "\u001fdone")
+            bump(r.jobId + "\u001ffail")
           }
           CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
             r.attempt, 404, success = false, terminal = terminal, "", "", "", "", "",
@@ -444,12 +450,12 @@ final class CrawlEngine(
         } else {
           val html = new String(r.__phtml, java.nio.charset.StandardCharsets.UTF_8)
           val ex = Extractor.extract(r.url, html, cfg.formats)
-          statAcc.add(r.jobId + "\u001fdone" -> 1L)
-          statAcc.add(r.jobId + "\u001fsucc" -> 1L)
+          bump(r.jobId + "\u001fdone")
+          bump(r.jobId + "\u001fsucc")
           // A4 per-page cost: 1 credit per successful page within limit (the
           // batch is limit-capped by scheduling, so every success is within
           // limit; json-extraction surcharges are an LLM non-goal)
-          statAcc.add(r.jobId + "\u001fcost" -> 1L)
+          bump(r.jobId + "\u001fcost")
           CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
             r.attempt, 200, success = true, terminal = true,
             ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),
@@ -470,7 +476,39 @@ final class CrawlEngine(
     val res = extracted.toDF()
 
     // --------------------------------------------------- accounting (A1-A3)
-    val stats = statAcc.value
+    // Exactly-once repair (VERDICT r2 #1): these counters rode a
+    // *transformation*, so a re-executed task (speculation, fetch-failure
+    // stage retry, evicted-cache rebuild) merges its updates twice. The
+    // committed parquet footers are the ground truth row count: equality
+    // proves the accumulator exact (over-count is the only failure mode —
+    // updates ride task success and only successful tasks commit files).
+    // On mismatch, recompute the per-job counters from the committed files,
+    // so seqOffsets and the finalize decision always derive from committed
+    // state, never from an inflated counter.
+    val hconf = spark.sessionState.newHadoopConf()
+    val stats = {
+      val acc = statAcc.value
+      val accFetched = acc.iterator.collect { case (k, v) if k.endsWith("\u001ffetched") => v }.sum
+      val committedRows = ckpt.committedRowCount(ckpt.resultsPath(gen), hconf)
+      if (accFetched == committedRows) acc
+      else {
+        System.err.println(s"[crawl] gen=$gen results accumulator total $accFetched != " +
+          s"committed $committedRows (task re-execution); recomputing from committed parquet")
+        spark.read.parquet(ckpt.resultsPath(gen))
+          .groupBy($"jobId")
+          .agg(count(lit(1)).as("f"),
+            sum(when($"terminal", 1L).otherwise(0L)).as("d"),
+            sum(when($"success", 1L).otherwise(0L)).as("s"),
+            sum(when($"terminal" && !$"success", 1L).otherwise(0L)).as("x"),
+            sum($"cost").as("c"))
+          .collect().iterator.flatMap { r =>
+            val j = r.getString(0)
+            Seq(j + "\u001ffetched" -> r.getLong(1), j + "\u001fdone" -> r.getLong(2),
+              j + "\u001fsucc" -> r.getLong(3), j + "\u001ffail" -> r.getLong(4),
+              j + "\u001fcost" -> r.getLong(5))
+          }.toMap
+      }
+    }
     def stat(j: String, k: String): Long = stats.getOrElse(j + "\u001f" + k, 0L)
     val statJobs = stats.keysIterator.map(_.takeWhile(_ != '\u001f')).toSet
     statJobs.foreach { j =>
@@ -637,11 +675,17 @@ final class CrawlEngine(
     val nextFrontier = carried.map(CrawlEngine.FrontierRowF.of(_, fresh = false))
       .unionByName(fresh.map(CrawlEngine.FrontierRowF.of(_, fresh = true)))
       .mapPartitions { it =>
+        val dbl = chaosV && org.apache.spark.TaskContext.getPartitionId() == 0
         it.map { r =>
           pendAcc.add(r.jobId -> 1L)
+          if (dbl) pendAcc.add(r.jobId -> 1L)
           if (r.__fresh) {
             freshAcc.add(r.jobId -> 1L)
             hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
+            if (dbl) {
+              freshAcc.add(r.jobId -> 1L)
+              hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
+            }
           }
           r
         }
@@ -649,10 +693,28 @@ final class CrawlEngine(
     phase(gen, "frontier-write") { nextFrontier.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
     val tPost = System.nanoTime()
     extracted.unpersist(false)
-    val pendCounts = pendAcc.value
+    // Same footer reconciliation as the results barrier: the pending /
+    // fresh / hash counters rode the frontier write; a re-executed task
+    // inflates them (duplicate bloom hashes are harmless — insertion is an
+    // idempotent OR — but enqueued accounting and the finalize decision are
+    // not). Recompute from the committed frontier parquet on mismatch.
+    val (pendCounts, freshCounts, freshHashes) = {
+      val p0 = pendAcc.value
+      val committedRows = ckpt.committedRowCount(ckpt.frontierPath(gen + 1), hconf)
+      if (p0.values.sum == committedRows) (p0, freshAcc.value, hashAcc.value)
+      else {
+        System.err.println(s"[crawl] gen=$gen frontier accumulator total ${p0.values.sum} != " +
+          s"committed $committedRows (task re-execution); recomputing from committed parquet")
+        val fr = spark.read.schema(frontierSchema).parquet(ckpt.frontierPath(gen + 1))
+        val rows = fr.groupBy($"jobId").agg(count(lit(1)).as("p"),
+          sum(when($"__fresh", 1L).otherwise(0L)).as("fr")).collect()
+        val hs = fr.where($"__fresh").select($"jobId", $"urlNorm").as[(String, String)]
+          .collect().map { case (j, u) => SeenBloom.hash64(j + "-" + u) }.toSeq
+        (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+          rows.map(r => r.getString(0) -> r.getLong(2)).toMap, hs)
+      }
+    }
     lastPendTotal = pendCounts.values.sum
-    val freshCounts = freshAcc.value
-    val freshHashes = hashAcc.value
     freshHashes.foreach(bloom.putHash)
     freshCounts.foreach { case (j, n) =>
       progress += j -> progress(j).copy(enqueued = progress(j).enqueued + n)
@@ -734,6 +796,11 @@ object CrawlEngine {
       jobTtlMs: Long = 3L * 60 * 60 * 1000,
       clockMs: () => Long = () => System.currentTimeMillis(),
       bloomMinBatch: Long = 65536L,
+      // test hook: double-fire every accumulator update of partition 0 in
+      // the barrier-riding passes, emulating a re-executed task (speculation
+      // / fetch-failure stage retry / evicted-cache rebuild) whose updates
+      // were already merged — the footer reconciliation must absorb it
+      chaosAccumulatorDoubleFire: Boolean = false,
       saltMinBatch: Long = 65536L,
       // 256 rows/partition below the broadcast threshold: the extraction
       // kernel runs in the corpus-probe stage, so corpus partitions ARE the

@@ -255,6 +255,26 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(seenB == oracle.seen)
   }
 
+  test("accounting survives task re-execution (footer reconciliation repairs accumulators)") {
+    // chaos hook double-fires every accumulator update of partition 0 in both
+    // barrier-riding passes — the signature of a speculated / stage-retried /
+    // cache-rebuilt task whose updates were already merged. Without the
+    // parquet-footer reconciliation this corrupts seqOffsets (seq numbering
+    // drifts by the double-counted partition each generation), enqueued
+    // accounting, and can finalize early on done>=limit.
+    val cfg = CrawlConfig("jchaos", Seq("https://host0.example.test/p0.html"), limit = 40)
+    val dir = tmpDir("jchaos")
+    val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty,
+      settings.copy(chaosAccumulatorDoubleFire = true))
+    engine.run(Seq(cfg))
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg))
+    assertTraceEqual(engineTrace(engine), oracle.trace)
+    val p = engine.finalProgress("jchaos")
+    val op = oracle.progress("jchaos")
+    assert((p.enqueued, p.done, p.succeeded, p.failed) ==
+      ((op.enqueued, op.done, op.succeeded, op.failed)))
+  }
+
   test("multi-job crawl keeps jobs independent") {
     val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
     val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
