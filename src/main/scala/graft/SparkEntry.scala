@@ -244,7 +244,9 @@ object SparkEntry {
       df.orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
-    // ---- rows-only (non-SQL-expressible; ScalaTest oracles cover them)
+    // rows-only: the banded minhash signature is a chain of xxhash64 values
+    // DuckDB cannot recompute; ground truth = PipelineSpec "minhash LSH finds
+    // near-dups, not unrelated docs" (planted-pair comparison)
     "q18_minhash_lsh_pairs" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
           numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
@@ -252,6 +254,9 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // rows-only: simhash64 is an xxhash-weighted bit-vote DuckDB cannot
+    // recompute; ground truth = PipelineSpec "simhash pigeonhole banding
+    // finds all pairs within hamming distance" (vs brute-force truth)
     "q19_simhash_pairs" -> ((s, dir) => {
       val s2 = s
       import s2.implicits._
@@ -263,6 +268,9 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // rows-only: candidate generation rides the q18 xxhash LSH (same DuckDB
+    // limitation); the Jaccard verify itself is checked in PipelineSpec
+    // "ngram jaccard verifies candidate pairs exactly"
     "q20_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cand = Dedup.minhashLshPairs(docs, "text", "doc_id",
@@ -287,6 +295,9 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // rows-only: hyperplane bucket ids come from xxhash-seeded planes DuckDB
+    // cannot recompute; ground truth = PipelineSpec "brute-force topK cosine
+    // and LSH recall" (recall asserted against the q17-style exact scan)
     "q22_ann_lsh" -> ((s, dir) => {
       Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
           annQuery, k = 20, planes = 12, probeRadius = 4)
@@ -294,29 +305,44 @@ object SparkEntry {
     }),
 
     "q23_serp_parse" -> ((s, dir) => {
+      // by-construction oracle: one SERP page per doc_id, fixture fields
+      // closed-form in (doc_id, block k) — DuckDB regenerates the expected
+      // rows while the REAL parser runs over the HTML (guards exercised:
+      // no-h3 decoy block skipped, every 5th block desc-less and skipped,
+      // script noise stripped from kept descriptions). Generation is
+      // executor-side off the documents table (no driver corpus).
       val s2 = s
       import s2.implicits._
-      val n = math.max(20, (sfOf(dir) * 2000).toInt)
-      val pages = s.createDataset((0 until n).map { i =>
-        SerpTransforms.SerpPage("google", s"query ${i % 7}", i % 3 + 1,
-          graft.fixtures.SerpGen.googleHtml(42L + i, 8))
-      })
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long].map { i =>
+        SerpTransforms.SerpPage("google", s"query ${i % 7}", (i % 3 + 1).toInt,
+          graft.fixtures.SerpGen.closedFormGoogleHtml(i, 8))
+      }
       SerpTransforms.parseAll(s, pages).toDF()
-        .select(col("query"), col("page"), col("position"), col("category"),
+        .select(col("query"), col("page").cast("long").as("page"),
+          col("position").cast("long").as("position"), col("category"),
           col("title"), col("url"), col("description"), col("source"))
         .orderBy(col("query"), col("page"), col("position"), col("url"))
     }),
 
+    // rows-only: the BSP trace is a whole-engine fixpoint no single SQL query
+    // expresses; ground truth = CrawlEngineSpec's SequentialOracle trace
+    // equality (+ the committed canonical trace fixture) at every config
     "q24_crawl_bsp" -> ((s, dir) => {
       val pages = math.max(200, (sfOf(dir) * 20000).toInt)
       crawlTrace(s, pages, 8, limit = pages / 2)
     }),
 
     "q25_multimodal_features" -> ((s, dir) => {
+      // by-construction oracle: one media row per documents row; GMB1 sizes
+      // and frame counts are closed-form in i (syntheticMedia contract), and
+      // every 41st payload is corrupted — so decode counts, byte totals,
+      // frame totals and the stride-4 sampling are all SQL-recomputable
+      // while the REAL binary parse + feature kernels run on every row
       val s2 = s
       import s2.implicits._
-      val n = math.max(100, (sfOf(dir) * 20000).toInt)
-      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, n), dim = 16)
+      val n = t(s, dir, "documents").count().toInt
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(s, n, corruptEvery = 41), dim = 16)
       Multimodal.sampleFrameIndexes(feats.toDF(), "frames", 4)
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("cnt"),
@@ -353,13 +379,20 @@ object SparkEntry {
     }),
 
     "q28_scrape_enrich" -> ((s, dir) => {
-      // J5 enrichment kernel as a distributed Dataset transform over the
-      // synthetic corpus (join side of search->scrape merge)
-      val n = math.max(100, (sfOf(dir) * 10000).toInt)
-      val rows = graft.fixtures.SiteGen.rows(42L, n, 8).toSeq
+      // J5 enrichment kernel (join side of search->scrape merge) with a
+      // by-construction oracle: pages synthesized EXECUTOR-side off the
+      // documents table whose extractor outputs have closed-form lengths —
+      // markdown = title \n\n h1 \n setext-rule \n\n body (3t+5+body chars),
+      // text = upper(h1) \n\n wrap(body) (wrapping swaps spaces for
+      // newlines, so it is length-preserving: t+2+body chars)
       val s2 = s
       import s2.implicits._
-      val pages = s.createDataset(rows).toDF()
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val body = ("lorem ipsum " * ((id % 13) + 1).toInt).trim
+        (s"https://docs.example.test/d$id.html",
+          (s"<html><head><title>Doc $id</title></head><body><h1>Doc $id</h1>" +
+            s"<p>$body</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("url", "html")
       graft.api.Graft.enrich(s, pages)
         .select(col("url"), length(col("scraped_title")).cast("long").as("title_len"),
           length(col("scraped_markdown")).cast("long").as("md_len"),
@@ -382,8 +415,19 @@ object SparkEntry {
     }),
 
     "q26_langid" -> ((s, dir) => {
-      // n-gram language-ID vs the table's lang label: agreement matrix
+      // language-ID agreement matrix with a by-construction oracle: planted
+      // marker-saturated texts per language (doc_id % 8 picks the language,
+      // plantedText guarantees classification) plus digit-only rows
+      // (doc_id % 11 == 0) that classify "und" — the REAL indexOf-scoring
+      // detector runs on every row; the matrix is closed-form in doc_id
+      val langs8 = TextAnalysis.knownLanguages // de,en,es,fr,ja,pt,ru,zh
+      val langArr = array(langs8.map(lit): _*)
+      val sentArr = array(langs8.map(l => lit(TextAnalysis.plantedText(l))): _*)
       t(s, dir, "documents")
+        .select(
+          element_at(langArr, (pmod(col("doc_id"), lit(8)) + 1).cast("int")).as("lang"),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit("0123456789 42 7"))
+            .otherwise(element_at(sentArr, (pmod(col("doc_id"), lit(8)) + 1).cast("int"))).as("text"))
         .select(col("lang"), TextAnalysis.detectLanguageCol(col("text")).as("pred"))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("cnt"))
@@ -644,6 +688,69 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // closed-form regeneration of the SERP fixture's expected rows: kept
+    // blocks are k in 0..7 minus the desc-less k=4; position advances only
+    // over kept blocks (k+1 below the gap, k above it)
+    "q23_serp_parse" ->
+      """SELECT 'query ' || (doc_id % 7) AS query,
+        |  (doc_id % 3) + 1 AS page,
+        |  CASE WHEN k < 4 THEN k + 1 ELSE k END AS position,
+        |  'web' AS category,
+        |  'Title ' || doc_id || ' ' || k AS title,
+        |  'https://site' || k || '.example.org/doc' || doc_id AS url,
+        |  'Description ' || doc_id || ' ' || k || '.' AS description,
+        |  'Google Search Result' AS source
+        |FROM documents CROSS JOIN range(8) t(k)
+        |WHERE k % 5 <> 4
+        |ORDER BY query, page, position, url""".stripMargin,
+
+    // mirrors syntheticMedia's closed-form GMB1 layout: image 9+w*h bytes,
+    // audio 11+2*len, video 11+48*nf; every 41st payload corrupted (frames=0,
+    // bytes unchanged); sampleFrameIndexes(stride 4) yields 1 index for
+    // frames<=1 (sequence(0, greatest(frames-1, 0))) and (frames-1)/4+1 above
+    "q25_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS i,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    (doc_id % 41) <> 0 AS ok,
+        |    CASE (doc_id % 3)
+        |      WHEN 0 THEN 9 + (8 + (doc_id*7) % 16) * (6 + (doc_id*5) % 16)
+        |      WHEN 1 THEN 11 + 2 * (64 + (doc_id*11) % 256)
+        |      ELSE 11 + 48 * (2 + (doc_id*3) % 8) END AS bytes,
+        |    CASE WHEN (doc_id % 41) = 0 THEN 0
+        |      WHEN (doc_id % 3) = 2 THEN 2 + (doc_id*3) % 8 ELSE 1 END AS frames
+        |  FROM documents)
+        |SELECT modality, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS decoded_cnt,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(CASE WHEN frames = 0 THEN 1 ELSE (frames-1)//4 + 1 END) AS BIGINT) AS total_sampled
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
+
+    // planted agreement matrix: language = doc_id % 8 over the detector's
+    // sorted language list; digit-only rows (doc_id % 11 = 0) predict 'und'
+    "q26_langid" ->
+      """SELECT lang, pred, count(*) AS cnt FROM (
+        |  SELECT CASE (doc_id % 8) WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |      WHEN 3 THEN 'fr' WHEN 4 THEN 'ja' WHEN 5 THEN 'pt' WHEN 6 THEN 'ru'
+        |      ELSE 'zh' END AS lang,
+        |    CASE WHEN (doc_id % 11) = 0 THEN 'und'
+        |      ELSE CASE (doc_id % 8) WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |        WHEN 3 THEN 'fr' WHEN 4 THEN 'ja' WHEN 5 THEN 'pt' WHEN 6 THEN 'ru'
+        |        ELSE 'zh' END END AS pred
+        |  FROM documents) x
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    // closed-form extractor-output lengths for the synthesized pages
+    // (t = len('Doc '||id), body = 12*((id%13)+1)-1): md = 3t+5+body,
+    // text = t+2+body (the text wrapper replaces spaces with newlines)
+    "q28_scrape_enrich" ->
+      """SELECT 'https://docs.example.test/d' || doc_id || '.html' AS url,
+        |  CAST(length('Doc ' || doc_id) AS BIGINT) AS title_len,
+        |  CAST(3 * length('Doc ' || doc_id) + 5 + (12 * ((doc_id % 13) + 1) - 1) AS BIGINT) AS md_len,
+        |  CAST(length('Doc ' || doc_id) + 2 + (12 * ((doc_id % 13) + 1) - 1) AS BIGINT) AS text_len
+        |FROM documents ORDER BY url""".stripMargin
   )
 }

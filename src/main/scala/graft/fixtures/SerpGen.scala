@@ -35,4 +35,27 @@ object SerpGen {
     sb.append("</div></body></html>")
     sb.toString
   }
+
+  /** SERP fixture with CLOSED-FORM fields (every emitted title/url/desc is a
+    * simple string function of `(i, k)`), so a SQL oracle can regenerate the
+    * parser's expected output without running it. Parser guards exercised:
+    * a decoy block without `h3` (skipped, position not advanced), every 5th
+    * block missing its description (skipped), and `<script>` noise inside
+    * kept descriptions (stripped). Kept block k emits position k+1 for k<4
+    * and k for k>4. */
+  def closedFormGoogleHtml(i: Long, n: Int): String = {
+    val sb = new StringBuilder("<html><body><div id=\"search\">")
+    sb.append("""<div jscontroller="SC7lYd" class="g"><a href="https://decoy.example.org/">no title here</a></div>""")
+    var k = 0
+    while (k < n) {
+      sb.append("""<div jscontroller="SC7lYd" class="g">""")
+      sb.append(s"""<a href="https://site$k.example.org/doc$i"><h3>Title $i $k</h3></a>""")
+      if (k % 5 != 4)
+        sb.append(s"""<div data-sncf="1">Description $i $k.<script>noise()</script></div>""")
+      sb.append("</div>")
+      k += 1
+    }
+    sb.append("</div></body></html>")
+    sb.toString
+  }
 }

@@ -216,25 +216,32 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic GMB1 corpus for tests/benches. */
-  def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+  /** Deterministic synthetic GMB1 corpus for tests/benches. Sizes and frame
+    * counts are CLOSED-FORM in `i` (simple `*`/`%` arithmetic a SQL oracle
+    * can mirror); payload *content* stays hash-derived — it feeds features,
+    * not the size/frame aggregates. With `corruptEvery > 0`, every
+    * `corruptEvery`-th row gets its magic clobbered (the corrupt-payload
+    * path: decodeOk=false, frames=0, bytes unchanged). */
+  def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L,
+      corruptEvery: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       def rnd(j: Long): Long = graft.fixtures.SiteGen.mix(seed + i, j)
       val modality = Seq("image", "audio", "video")((i % 3).toInt)
       val payload = modality match {
         case "image" =>
-          val w = 8 + (rnd(1) & 15).toInt; val h = 6 + (rnd(2) & 15).toInt
+          val w = 8 + ((i * 7) % 16).toInt; val h = 6 + ((i * 5) % 16).toInt
           MediaCodec.encodeImage(w, h, Array.tabulate(w * h)(j => (rnd(3 + j) & 0xFF).toByte))
         case "audio" =>
-          val len = 64 + (rnd(1) & 0xFF).toInt
+          val len = 64 + ((i * 11) % 256).toInt
           MediaCodec.encodeAudio(16000, Array.tabulate(len)(j => (rnd(3 + j) & 0x7FFF).toShort))
         case _ =>
           val w = 8; val h = 6
-          val nf = 2 + (rnd(1) & 7).toInt
+          val nf = 2 + ((i * 3) % 8).toInt
           MediaCodec.encodeVideo(w, h,
             (0 until nf).map(f => Array.tabulate(w * h)(j => (rnd(100L * f + j) & 0xFF).toByte)))
       }
+      if (corruptEvery > 0 && i % corruptEvery == 0) payload(0) = 'X'.toByte
       MediaRow(i, modality, payload,
         MediaMeta(modality, 0, 0,
           if (modality == "audio") 16000 else 0,

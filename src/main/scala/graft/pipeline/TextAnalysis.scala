@@ -103,6 +103,15 @@ object TextAnalysis {
     "ja" -> Seq("の", "は", "を", "に", "が", "した", "です"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
 
+  /** Languages the classifier knows, sorted. */
+  def knownLanguages: Seq[String] = langMarkers.keys.toSeq.sorted
+
+  /** Deterministic marker-saturated sample text for `lang` — guaranteed to
+    * classify as `lang` (each of its 7 markers occurs >= 3 times; no other
+    * language's full marker set can outscore it). Used to build
+    * by-construction oracles for the agreement-matrix query. */
+  def plantedText(lang: String): String = langMarkers(lang).mkString * 3
+
   /** Pure-Scala language classifier: best marker-hit score, "und" when no
     * marker fires. */
   def detectLanguage(text: String): String = {
