@@ -168,7 +168,7 @@ final class Checkpoint(workDir: String) {
           .filter { p =>
             val n = p.getFileName.toString
             (n.startsWith("gen=") && scala.util.Try(n.stripPrefix("gen=").toInt).toOption.exists(_ > gen)) ||
-            (n.startsWith("compact=") && scala.util.Try(n.stripPrefix("compact=").toInt).toOption.exists(_ >= gen))
+            parseBucket(n).exists(_.to > gen)
           }
           .foreach(deleteRecursively)
       }
@@ -178,57 +178,59 @@ final class Checkpoint(workDir: String) {
   // ---- seen-set storage: the seen keys ARE the frontier history — every
   // `frontier/gen=N` row carries a `__fresh` flag (true = first time this
   // (jobId, urlNorm) was enqueued), so no separate seen table is written per
-  // generation. Compaction periodically folds the flagged rows of old
-  // frontier dirs into one 2-column `seen/compact=C/` dir (bounds the
-  // anti-join read fan-in). Validity is the presence of the `_COMPACT_OK`
-  // marker, written only after the parquet write completes — a crash
-  // mid-compaction is invisible.
-  def compactedSeenPath(c: Int): String = s"$workDir/seen/compact=$c"
-  private def compactMarker(c: Int): Path = Paths.get(s"$workDir/seen/compact=$c/_COMPACT_OK")
+  // generation. Compaction folds flagged rows of old frontier dirs into
+  // 2-column `seen/bucket=<from>-<to>-L<level>/` dirs, LEVELED like LSM
+  // compaction: the frontier tail folds into a level-0 bucket (cost O(tail),
+  // never O(total seen)), and when `levelFanout` buckets accumulate at a
+  // level they merge into one bucket a level up — per-key compaction cost is
+  // amortized O(log_fanout(generations)) while the anti-join read fan-in
+  // stays bounded by fanout * levels + tail. Validity is the `_COMPACT_OK`
+  // marker, written only after the parquet (and bloom sidecars — see
+  // [[SidecarBlooms]]) are durable, so a crash mid-compaction is invisible;
+  // a crash between marker and input-prune leaves duplicate coverage, which
+  // `validSeenBuckets` masks by containment (anti-join semantics are
+  // set-union, so duplicates could not corrupt results even unmasked).
 
-  /** Largest valid compaction C with C <= maxC (compact=C covers gens 0..C+1). */
-  def lastCompaction(maxC: Int): Option[Int] = {
+  import Checkpoint.SeenBucket
+
+  def seenBucketPath(b: SeenBucket): String = s"$workDir/seen/${b.dirName}"
+  private def bucketMarker(b: SeenBucket): Path =
+    Paths.get(s"$workDir/seen/${b.dirName}/_COMPACT_OK")
+
+  def markBucket(b: SeenBucket): Unit = Files.writeString(bucketMarker(b), "ok")
+
+  private def parseBucket(name: String): Option[SeenBucket] =
+    """bucket=(\d+)-(\d+)-L(\d+)""".r.findFirstMatchIn(name)
+      .filter(_.matched == name)
+      .map(m => SeenBucket(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+
+  /** Valid (marker-present) buckets covering only generations <= maxGen,
+    * minus any bucket whose range is contained in a higher-level bucket
+    * (the half-pruned leftovers of a crash between marker and prune). */
+  def validSeenBuckets(maxGen: Int): Seq[SeenBucket] = {
     val dir = Paths.get(s"$workDir/seen")
-    if (!Files.exists(dir)) return None
-    val cs = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.startsWith("compact=") =>
-        scala.util.Try(n.stripPrefix("compact=").toInt).toOption }
-      .flatten
-      .filter(c => c <= maxC && Files.exists(compactMarker(c)))
+    if (!Files.exists(dir)) return Nil
+    val all = Files.list(dir).iterator().asScala
+      .flatMap(p => parseBucket(p.getFileName.toString))
+      .filter(b => b.to <= maxGen && Files.exists(bucketMarker(b)))
       .toSeq
-    cs.maxOption
+    all.filterNot(b => all.exists(o =>
+        o != b && o.level > b.level && o.from <= b.from && o.to >= b.to))
+      .sortBy(b => (b.from, b.level))
   }
 
-  def markCompacted(c: Int): Unit =
-    Files.writeString(compactMarker(c), "ok")
+  def pruneSeenBuckets(bs: Seq[SeenBucket]): Unit =
+    bs.foreach(b => deleteRecursively(Paths.get(seenBucketPath(b))))
 
-  /** After compact=C is marked valid, older compactions are superseded.
-    * (The frontier dirs themselves stay — they are the crawl's audit trail;
-    * the anti-join no longer reads the ones a compaction covers.) */
-  def pruneCompactedSeen(c: Int): Unit = {
-    val dir = Paths.get(s"$workDir/seen")
-    if (!Files.exists(dir)) return
-    Files.list(dir).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("compact=") &&
-          scala.util.Try(n.stripPrefix("compact=").toInt).toOption.exists(_ < c)
-      }
-      .foreach(deleteRecursively)
+  /** Sources of seen keys covering frontier generations 0..gen: the valid
+    * bucket set (2-column parquet each), plus the per-generation frontier
+    * tail after the newest bucketed generation (filter `__fresh`, project
+    * (jobId, urlNorm)). */
+  def seenSources(gen: Int): (Seq[SeenBucket], Seq[String]) = {
+    val buckets = validSeenBuckets(gen)
+    val tailFrom = buckets.map(_.to + 1).maxOption.getOrElse(0)
+    (buckets, (tailFrom to gen).map(frontierPath).filter(p => Files.exists(Paths.get(p))))
   }
-
-  /** Sources of seen keys covering frontier generations 0..gen: the newest
-    * valid compaction (2-column parquet), plus the per-generation frontier
-    * tail (filter `__fresh`, project (jobId, urlNorm)). */
-  def seenSources(gen: Int): (Option[String], Seq[String]) =
-    lastCompaction(gen - 1) match {
-      case Some(c) =>
-        (Some(compactedSeenPath(c)),
-          ((c + 2) to gen).map(frontierPath).filter(p => Files.exists(Paths.get(p))))
-      case None =>
-        (None, (0 to gen).map(frontierPath).filter(p => Files.exists(Paths.get(p))))
-    }
 
   def resultPathsThrough(gen: Int): Seq[String] =
     (0 to gen).map(resultsPath).filter(p => Files.exists(Paths.get(p)))
@@ -236,5 +238,13 @@ final class Checkpoint(workDir: String) {
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+}
+
+object Checkpoint {
+  /** One seen-compaction bucket: holds the `__fresh` (jobId, urlNorm) keys of
+    * frontier generations `from..to` inclusive, at LSM level `level`. */
+  final case class SeenBucket(from: Int, to: Int, level: Int) {
+    def dirName: String = s"bucket=$from-$to-L$level"
   }
 }

@@ -140,7 +140,8 @@ final class CrawlEngine(
         if (robotsOk) Some(FrontierEntry(c.jobId, s, norm, h, 0, i.toLong, "", 0)) else None
       }
     }.distinct
-    seedEntries.foreach(e => bloom.put(e.jobId + "-" + e.urlNorm))
+    if (settings.seenFilter == "driver")
+      seedEntries.foreach(e => bloom.put(e.jobId + "-" + e.urlNorm))
     progress = progress.map { case (j, p) =>
       j -> p.copy(enqueued = seedEntries.count(_.jobId == j).toLong)
     }
@@ -160,7 +161,11 @@ final class CrawlEngine(
       throw new IllegalStateException(s"no committed generation under $workDir"))
     progress = m.progress.map(p => p.jobId -> p).toMap
     seqOffsets = m.seqOffsets
-    bloom = ckpt.loadBloom(m.generation)
+    // sidecar mode keeps no driver filter (the whole point) — its durable
+    // state is the bucket sidecars themselves, already on disk
+    bloom =
+      if (settings.seenFilter == "driver") ckpt.loadBloom(m.generation)
+      else new SeenBloom(settings.bloomShards, settings.bloomExpectedPerShard, settings.bloomFpp)
     generation = m.generation + 1
     lastPendTotal = Long.MaxValue // unknown -> conservative two-phase plans
     ckpt.truncateAfter(generation) // drop partial output of a crashed gen
@@ -168,31 +173,64 @@ final class CrawlEngine(
     Report(generation, progress, progress.values.map(_.done).sum, System.currentTimeMillis() - t0)
   }
 
-  /** Compact `seen/gen=*` once the anti-join read fan-in exceeds
-    * `compactEvery` directories: one sequential rewrite into a single
-    * hash-distributed dir (VERDICT: thousands of small-file reads per
-    * superstep at hundreds of generations). Runs AFTER gen's commit, so the
-    * inputs are durable; validity is marker-gated, so a crash mid-compaction
-    * is invisible. Merge-all is O(seen) per compaction — amortized fine at
-    * bench horizons; a production 10^10 deployment would tier the merges
-    * (leveled, like LSM compaction) to avoid rewriting the full set.
-    */
+  /** Every bucket write of this engine's lifetime: (bucket, rows written).
+    * Test-visible evidence that leveled compaction rewrites O(level size)
+    * per merge, never O(total seen) per compaction. */
+  val compactionLog: scala.collection.mutable.ArrayBuffer[(Checkpoint.SeenBucket, Long)] =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  /** Write one seen bucket (2-column parquet), build its bloom sidecars in
+    * sidecar mode, then validity-mark it. Marker last => crash-invisible. */
+  private def writeSeenBucket(b: Checkpoint.SeenBucket, src: DataFrame): Unit = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    src.repartition(nPart, $"jobId", $"urlNorm")
+      .write.mode("overwrite").parquet(ckpt.seenBucketPath(b))
+    val rows = ckpt.committedRowCount(ckpt.seenBucketPath(b), spark.sessionState.newHadoopConf())
+    compactionLog += ((b, rows))
+    if (settings.seenFilter == "sidecar") {
+      graft.frontier.SidecarBlooms.buildForBucket(spark, ckpt.seenBucketPath(b),
+        settings.sidecarShards, settings.bloomFpp, rows)
+    }
+    ckpt.markBucket(b)
+  }
+
+  /** LEVELED seen compaction (LSM-style; VERDICT r2 #3): once the anti-join
+    * read fan-in (buckets + frontier tail dirs) exceeds `compactEvery`, the
+    * tail folds into a level-0 bucket — cost O(tail), never O(total seen) —
+    * and any level holding >= `levelFanout` buckets merges into one bucket a
+    * level up. Per-key compaction cost is amortized O(log generations); the
+    * old single-compaction design rewrote the ENTIRE seen set every
+    * `compactEvery` generations (a scale-killer at hundreds of generations
+    * x 1e9 keys). Runs AFTER gen's commit, so inputs are durable; bucket
+    * validity is marker-gated, so a crash mid-compaction is invisible, and a
+    * crash between marker and input-prune only leaves redundant coverage
+    * (masked by containment in validSeenBuckets; set-union semantics make it
+    * harmless regardless). */
   private def maybeCompactSeen(gen: Int): Unit = {
     if (settings.compactEvery <= 0) return
-    val (compactOpt, tailPaths) = ckpt.seenSources(gen + 1)
-    if (compactOpt.size + tailPaths.size < settings.compactEvery) return
-    val parts: Seq[DataFrame] =
-      compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
-      (if (tailPaths.nonEmpty)
-         Seq(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
-           .where($"__fresh").select($"jobId", $"urlNorm"))
-       else Nil)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    parts.reduce(_ unionByName _)
-      .repartition(nPart, $"jobId", $"urlNorm")
-      .write.mode("overwrite").parquet(ckpt.compactedSeenPath(gen))
-    ckpt.markCompacted(gen)
-    ckpt.pruneCompactedSeen(gen)
+    val maxGen = gen + 1 // frontier/gen=gen+1 was committed by this superstep
+    val (buckets, tailPaths) = ckpt.seenSources(maxGen)
+    if (buckets.size + tailPaths.size < settings.compactEvery) return
+    if (tailPaths.nonEmpty) {
+      val from = buckets.map(_.to + 1).maxOption.getOrElse(0)
+      writeSeenBucket(Checkpoint.SeenBucket(from, maxGen, 0),
+        spark.read.schema(frontierSchema).parquet(tailPaths: _*)
+          .where($"__fresh").select($"jobId", $"urlNorm"))
+    }
+    var merged = true
+    while (merged) {
+      merged = false
+      val cur = ckpt.validSeenBuckets(maxGen)
+      cur.groupBy(_.level).toSeq.sortBy(_._1).find(_._2.size >= settings.levelFanout)
+        .foreach { case (lvl, bs) =>
+          val target = Checkpoint.SeenBucket(bs.map(_.from).min, bs.map(_.to).max, lvl + 1)
+          writeSeenBucket(target,
+            bs.map(b => spark.read.parquet(ckpt.seenBucketPath(b)).select($"jobId", $"urlNorm"))
+              .reduce(_ unionByName _))
+          ckpt.pruneSeenBuckets(bs)
+          merged = true
+        }
+    }
   }
 
   private def activeJobs: Seq[CrawlConfig] =
@@ -565,12 +603,34 @@ final class CrawlEngine(
         }
       }
 
+    // The bloom pre-filter pays for itself only when the candidate set is
+    // large (it kills shuffle width ahead of the exact anti-join). Below
+    // `bloomMinBatch` scheduled rows the filter costs more than the shuffle
+    // it saves, so small supersteps go straight to the exact anti-join.
+    val useBloom = batchCount >= settings.bloomMinBatch
+    val (seenBuckets, tailPaths) = ckpt.seenSources(gen)
+    val bucketPaths = seenBuckets.map(ckpt.seenBucketPath)
+    // sidecar probing engages once compaction has produced filter-carrying
+    // buckets; before that (or below bloomMinBatch) everything goes to the
+    // exact anti-join, whose right side is then only the small tail
+    val sidecarProbe = settings.seenFilter == "sidecar" && useBloom && bucketPaths.nonEmpty
+
     // in-batch dedup: canonical-min entry per (jobId, urlNorm) (U1).
-    // One hash shuffle on the (jobId, urlNorm) key + a partition-local sorted
-    // first-per-key scan — and the shuffle is the same clustering the seen
-    // anti-join needs, so the join does not re-shuffle this side.
-    val cand = candRaw
-      .repartition($"jobId", $"urlNorm")
+    // One hash shuffle + a partition-local sorted first-per-key scan. In
+    // sidecar mode the shuffle keys on shard-of-key instead — equal keys
+    // still co-locate (the shard is a pure function of the key), and each
+    // task then probes only its own shards' sidecar filters (executor-cached
+    // across supersteps) rather than pulling every shard of every bucket.
+    val dedupKeyed =
+      if (sidecarProbe) {
+        // BIGINT-only arithmetic (ANSI-safe); for power-of-two shard counts
+        // pmod takes the same low bits SidecarBlooms.shardOf does, so a
+        // task's rows map to exactly the shard filters it will load
+        val s = settings.sidecarShards
+        candRaw.repartition(expr("pmod(xxhash64(concat(jobId, '-', urlNorm)) ^ " +
+          s"shiftrightunsigned(xxhash64(concat(jobId, '-', urlNorm)), 32), ${s}L)"))
+      } else candRaw.repartition($"jobId", $"urlNorm")
+    val cand = dedupKeyed
       .sortWithinPartitions($"jobId", $"urlNorm", $"depth", $"priority", $"parentUrl", $"url")
       .mapPartitions { it =>
         var lastJob: String = null
@@ -583,35 +643,47 @@ final class CrawlEngine(
       }
 
     // ----------------------------------- seen-set dedup: bloom + exact (J2)
-    // The bloom pre-filter pays for itself only when the candidate set is
-    // large (it kills shuffle width ahead of the exact anti-join). Below
-    // `bloomMinBatch` scheduled rows the ~MBs-per-generation broadcast of
-    // the filter costs more than the shuffle it saves, so small supersteps
-    // go straight to the exact anti-join. The driver-side filter stays
-    // warm (putHash per fresh key) either way, ready for large batches.
-    val useBloom = batchCount >= settings.bloomMinBatch
+    // driver mode: the broadcast SeenBloom covers EVERY seen key, so bloom
+    // negatives are final. sidecar mode (VERDICT r2 #2): per-bucket shard
+    // filters live next to the compacted seen parquet and are probed
+    // executor-locally — the driver never holds any filter — but they cover
+    // only bucketed generations, so bloom negatives still take an exact
+    // anti-join against the (small, recent) frontier tail.
     val tagged =
-      if (useBloom) {
+      if (sidecarProbe) {
+        val bp = bucketPaths
+        val sh = settings.sidecarShards
+        val mightContain = udf { (jobId: String, urlNorm: String) =>
+          graft.frontier.SidecarBlooms.mightContain(bp, SeenBloom.hash64(jobId + "-" + urlNorm), sh)
+        }
+        cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
+      } else if (useBloom && settings.seenFilter == "driver") {
         val bloomB = spark.sparkContext.broadcast(bloom)
         val mightContain = udf { (jobId: String, urlNorm: String) =>
           bloomB.value.mightContain(jobId + "-" + urlNorm)
         }
         cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
       } else cand.withColumn("__maybe", lit(true))
-    val definitelyNew = tagged.filter(!$"__maybe").drop("__maybe").as[FrontierEntry]
+    val definitelyNew0 = tagged.filter(!$"__maybe").drop("__maybe").as[FrontierEntry]
     val positives = tagged.filter($"__maybe").drop("__maybe").as[FrontierEntry]
-    val (compactOpt, tailPaths) = ckpt.seenSources(gen)
-    val seenParts: Seq[DataFrame] =
-      compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
-      (if (tailPaths.nonEmpty)
-         Seq(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
-           .where($"__fresh").select($"jobId", $"urlNorm"))
-       else Nil)
-    val survivors = seenParts.reduceOption(_ unionByName _) match {
+    val bucketsDfOpt: Option[DataFrame] =
+      if (bucketPaths.isEmpty) None
+      else Some(bucketPaths.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm"))
+        .reduce(_ unionByName _))
+    val tailDfOpt: Option[DataFrame] =
+      if (tailPaths.isEmpty) None
+      else Some(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
+        .where($"__fresh").select($"jobId", $"urlNorm"))
+    val survivors = (bucketsDfOpt.toSeq ++ tailDfOpt.toSeq).reduceOption(_ unionByName _) match {
       case None => positives
       case Some(seenDf) =>
         positives.join(seenDf, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
     }
+    val definitelyNew =
+      if (sidecarProbe) tailDfOpt match {
+        case Some(t) => definitelyNew0.join(t, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
+        case None => definitelyNew0
+      } else definitelyNew0
     var fresh = definitelyNew.unionByName(survivors)
 
     // enqueue-cap: never let a job's total enqueued exceed its limit
@@ -672,6 +744,7 @@ final class CrawlEngine(
     spark.sparkContext.register(pendAcc, s"crawl-pending-gen$gen")
     spark.sparkContext.register(freshAcc, s"crawl-fresh-gen$gen")
     spark.sparkContext.register(hashAcc, s"crawl-hashes-gen$gen")
+    val needHashes = settings.seenFilter == "driver" // sidecar mode ships no hashes back
     val nextFrontier = carried.map(CrawlEngine.FrontierRowF.of(_, fresh = false))
       .unionByName(fresh.map(CrawlEngine.FrontierRowF.of(_, fresh = true)))
       .mapPartitions { it =>
@@ -681,10 +754,10 @@ final class CrawlEngine(
           if (dbl) pendAcc.add(r.jobId -> 1L)
           if (r.__fresh) {
             freshAcc.add(r.jobId -> 1L)
-            hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
+            if (needHashes) hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
             if (dbl) {
               freshAcc.add(r.jobId -> 1L)
-              hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
+              if (needHashes) hashAcc.add(SeenBloom.hash64(r.jobId + "-" + r.urlNorm))
             }
           }
           r
@@ -715,7 +788,7 @@ final class CrawlEngine(
       }
     }
     lastPendTotal = pendCounts.values.sum
-    freshHashes.foreach(bloom.putHash)
+    if (needHashes) freshHashes.foreach(bloom.putHash)
     freshCounts.foreach { case (j, n) =>
       progress += j -> progress(j).copy(enqueued = progress(j).enqueued + n)
     }
@@ -740,10 +813,13 @@ final class CrawlEngine(
       extractedDocs = statJobs.toSeq.map(j => stat(j, "succ")).sum,
       wallMillis = System.currentTimeMillis() - t0),
       // full filter snapshot only on the compaction cadence; other
-      // generations persist just the fresh-hash delta (see Checkpoint)
-      bloomSnapshot = if (settings.compactEvery <= 0 || gen % math.max(1, settings.compactEvery) == 0)
+      // generations persist just the fresh-hash delta (see Checkpoint).
+      // sidecar mode checkpoints NO filter state at all — its filters are
+      // the per-bucket sidecar files, durable with the buckets themselves
+      bloomSnapshot = if (needHashes &&
+          (settings.compactEvery <= 0 || gen % math.max(1, settings.compactEvery) == 0))
         Some(bloom.serialized) else None,
-      bloomDelta = freshHashes) }
+      bloomDelta = if (needHashes) freshHashes else Nil) }
 
     true
   }
@@ -771,9 +847,9 @@ final class CrawlEngine(
   /** The final URL-seen set (jobId, urlNorm). */
   def seenSet(): DataFrame = {
     val last = ckpt.lastCommitted.map(_.generation).getOrElse(-1)
-    val (compactOpt, tailPaths) = ckpt.seenSources(last + 1)
+    val (buckets, tailPaths) = ckpt.seenSources(last + 1)
     val parts: Seq[DataFrame] =
-      compactOpt.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm")).toSeq ++
+      buckets.map(b => spark.read.parquet(ckpt.seenBucketPath(b)).select($"jobId", $"urlNorm")) ++
       (if (tailPaths.nonEmpty)
          Seq(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
            .where($"__fresh").select($"jobId", $"urlNorm"))
@@ -796,6 +872,16 @@ object CrawlEngine {
       jobTtlMs: Long = 3L * 60 * 60 * 1000,
       clockMs: () => Long = () => System.currentTimeMillis(),
       bloomMinBatch: Long = 65536L,
+      // "driver": one SeenBloom lives on the driver and is broadcast into
+      // the candidate filter (fine through ~1e9 keys with incremental
+      // checkpoints). "sidecar": NO node ever holds the full filter — each
+      // seen-compaction bucket carries per-shard bloom files probed
+      // executor-locally after a shard-keyed candidate shuffle (the 1e10-key
+      // deployment shape; see SidecarBlooms).
+      seenFilter: String = "driver",
+      sidecarShards: Int = 32,
+      // leveled seen compaction: buckets per level before they merge upward
+      levelFanout: Int = 4,
       // test hook: double-fire every accumulator update of partition 0 in
       // the barrier-riding passes, emulating a re-executed task (speculation
       // / fetch-failure stage retry / evicted-cache rebuild) whose updates

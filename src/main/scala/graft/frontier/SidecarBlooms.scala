@@ -1,0 +1,119 @@
+package graft.frontier
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.sketch.BloomFilter
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/**
+ * Per-bucket bloom SIDECARS — the at-scale evolution of the driver-resident
+ * [[SeenBloom]] (SURVEY §2.4 A8). At the reference's design scale (10^10
+ * frontier keys, ~12 GB of filter at 1% fpp) no single node can hold or
+ * broadcast the seen filter; instead each seen-compaction bucket carries its
+ * own filter, sharded by `hash % shards`, as files under
+ * `bucket=<range>/_blooms/shard=<s>.blm` (the `_` prefix keeps parquet
+ * readers from listing them, like `_SUCCESS`).
+ *
+ *  - BUILD runs executor-side during compaction: the bucket's committed
+ *    parquet is shuffled by shard id (identity `HashPartitioner`, one task
+ *    per shard) and each task streams its keys into one filter and writes
+ *    the file — the driver never sees filter bytes, only the row count used
+ *    for sizing (parquet footers).
+ *  - PROBE runs executor-side during candidate dedup: candidates are already
+ *    shuffled by a shard-of-key expression (the same shuffle the in-batch
+ *    dedup needs), so each task touches a handful of shards and lazily loads
+ *    just those shard files per bucket, cached per-executor across
+ *    supersteps (bucket dirs are immutable once marked valid).
+ *  - A missing sidecar file degrades to "maybe seen" (the exact anti-join
+ *    still runs for positives), so filters are a pure pre-filter: false
+ *    negatives are impossible by construction, false positives only cost
+ *    join width.
+ *
+ * Keys are the same 64-bit [[SeenBloom.hash64]] digests used everywhere else
+ * (`putLong`/`mightContainLong` — never string inserts).
+ */
+object SidecarBlooms {
+
+  /** Shard of a 64-bit key hash — must match [[SeenBloom]]'s fold so both
+    * filter families shard identically. */
+  def shardOf(h: Long, shards: Int): Int = {
+    val x = (h ^ (h >>> 32)).toInt
+    ((x % shards) + shards) % shards
+  }
+
+  def shardFilePath(bucketDir: String, shard: Int): String =
+    s"$bucketDir/_blooms/shard=$shard.blm"
+
+  /**
+   * Build the sidecar filters for a just-committed bucket directory.
+   * Sizing comes from the committed row count (parquet footers — no job):
+   * `expected = max(1024, 1.3 * rows / shards)` keeps the realized fpp at or
+   * below the advertised one under mild shard imbalance.
+   */
+  def buildForBucket(spark: SparkSession, bucketDir: String, shards: Int,
+      fpp: Double, committedRows: Long): Unit = {
+    import spark.implicits._
+    val expected = math.max(1024L, committedRows * 13L / 10L / shards)
+    val rdd = spark.read.parquet(bucketDir)
+      .select(org.apache.spark.sql.functions.concat_ws("-", $"jobId", $"urlNorm"))
+      .as[String].rdd
+      .map { k => val h = SeenBloom.hash64(k); (shardOf(h, shards), h) }
+      .partitionBy(new org.apache.spark.HashPartitioner(shards)) // identity for 0..shards-1
+    rdd.foreachPartition { it =>
+      val shard = org.apache.spark.TaskContext.getPartitionId()
+      val bf = BloomFilter.create(expected, fpp)
+      it.foreach { case (_, h) => bf.putLong(h) }
+      // task-side durable write (default Hadoop conf — executors on a real
+      // cluster resolve the same DFS the bucket parquet just landed on);
+      // tmp-file + rename so a killed task never leaves a torn filter
+      val conf = new Configuration()
+      val path = new HPath(shardFilePath(bucketDir, shard))
+      val fs = path.getFileSystem(conf)
+      val tmp = new HPath(path.getParent, s".${path.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try bf.writeTo(out) finally out.close()
+      if (!fs.rename(tmp, path)) { // lost a re-execution race: another attempt won
+        fs.delete(tmp, false): Unit
+      }
+    }
+  }
+
+  // ------------------------------------------------------- executor cache
+  // Bucket dirs are immutable once their _COMPACT_OK marker exists, so a
+  // path-keyed cache needs no invalidation; LRU-bounded so long-lived
+  // executors shed filters of pruned (merged-away) buckets.
+  private val MaxCached = 256
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[BloomFilter]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[BloomFilter]]): Boolean =
+        size() > MaxCached
+    })
+
+  /** Load (cached) the filter for `bucketDir`'s shard; None when the sidecar
+    * file is absent (callers must then treat candidates as maybe-seen). */
+  def load(bucketDir: String, shard: Int): Option[BloomFilter] = {
+    val key = shardFilePath(bucketDir, shard)
+    val cached = cache.get(key)
+    if (cached != null) return cached
+    val loaded =
+      try {
+        val path = new HPath(key)
+        val fs = path.getFileSystem(new Configuration())
+        if (!fs.exists(path)) None
+        else {
+          val in = fs.open(path)
+          try Some(BloomFilter.readFrom(in)) finally in.close()
+        }
+      } catch { case _: Exception => None }
+    cache.put(key, loaded)
+    loaded
+  }
+
+  /** Probe every bucket's shard filter for key hash `h`: true = might be
+    * seen (or a filter was missing), false = definitely not in any bucket. */
+  def mightContain(bucketDirs: Seq[String], h: Long, shards: Int): Boolean = {
+    val s = shardOf(h, shards)
+    bucketDirs.exists(b => load(b, s).forall(_.mightContainLong(h)))
+  }
+}

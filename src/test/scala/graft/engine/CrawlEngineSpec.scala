@@ -255,6 +255,83 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(seenB == oracle.seen)
   }
 
+  test("sidecar seen-filter: trace/seen exact, zero driver filter state, resume without snapshots") {
+    val cfg = CrawlConfig("jsc", Seq("https://host0.example.test/p0.html"), limit = 40)
+    // bloomMinBatch=0 forces sidecar probing even at test-sized batches;
+    // aggressive compaction so buckets (and their sidecars) actually form
+    val sSide = settings.copy(seenFilter = "sidecar", sidecarShards = 4,
+      compactEvery = 2, levelFanout = 2, bloomMinBatch = 0L)
+    val dir = tmpDir("jsc")
+    val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, sSide)
+    engine.run(Seq(cfg))
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg))
+    assertTraceEqual(engineTrace(engine), oracle.trace)
+    val seen = engine.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seen == oracle.seen)
+    // the driver checkpointed NO filter state: no snapshots, empty deltas
+    val bloomDir = java.nio.file.Paths.get(dir, "bloom")
+    val bloomFiles = java.nio.file.Files.list(bloomDir).iterator()
+    bloomFiles.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      assert(!n.startsWith("gen="), s"unexpected bloom snapshot $n in sidecar mode")
+      if (n.startsWith("delta=")) assert(java.nio.file.Files.size(p) == 0L)
+    }
+    // sidecar filter files exist under the surviving buckets
+    val blms = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "seen")).iterator()
+    var found = 0
+    blms.forEachRemaining(p => if (p.getFileName.toString.endsWith(".blm")) found += 1)
+    assert(found > 0, "no bloom sidecar files written")
+    // resume across a compaction point works with no bloom snapshot on disk
+    val dirB = tmpDir("jscB")
+    val cut = new CrawlEngine(spark, pagesDf, dirB, Map.empty, sSide.copy(maxGenerations = 4))
+    cut.run(Seq(cfg))
+    val resumed = new CrawlEngine(spark, pagesDf, dirB, Map.empty, sSide)
+    resumed.resume(Seq(cfg))
+    assertTraceEqual(engineTrace(resumed), oracle.trace)
+    val seenB = resumed.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seenB == oracle.seen)
+  }
+
+  test("leveled compaction: 64+ generation horizon, per-merge cost bounded by level size") {
+    // 100-page single-host corpus, politeness budget 1 -> one fetch per
+    // generation -> a 70-generation horizon with frequent compactions
+    val s = spark; import s.implicits._
+    val rows = SiteGen.rows(seed, 100, 1).toSeq
+    val df = s.createDataset(rows).toDF()
+    val byNorm = rows.map(r => UrlOps.normalize(r.url) -> new String(r.html, "UTF-8")).toMap
+    val cfg = CrawlConfig("jlev", Seq("https://host0.example.test/p0.html"),
+      limit = 70, maxDepth = 30, hostBudgetPerStep = 1)
+    val sLev = settings.copy(compactEvery = 4, levelFanout = 2)
+    val dir = tmpDir("jlev")
+    val engine = new CrawlEngine(s, df, dir, Map.empty, sLev)
+    val report = engine.run(Seq(cfg))
+    assert(report.generations >= 64, s"wanted a 64+ gen horizon, got ${report.generations}")
+    val oracle = SequentialOracle.crawl(byNorm, Seq(cfg))
+    assertTraceEqual(engineTrace(engine), oracle.trace)
+    val seenCount = oracle.seen.size.toLong
+    val log = engine.compactionLog.toSeq
+    val maxLevel = log.map(_._1.level).max
+    assert(maxLevel >= 2, s"expected multi-level merges, max level $maxLevel")
+    // leveled bound: every key is written once at L0 and at most once per
+    // higher level -> total rewritten rows <= (maxLevel + 1) * seen. The old
+    // merge-all design rewrote the full set at every compaction:
+    // sum(seen_at_compaction_i), which this corpus would push far past it.
+    val totalWritten = log.map(_._2).sum
+    assert(totalWritten <= (maxLevel + 1) * seenCount,
+      s"compaction rewrote $totalWritten rows > ${(maxLevel + 1) * seenCount} bound (seen=$seenCount)")
+    // read fan-in stays bounded
+    val buckets = new Checkpoint(dir).validSeenBuckets(Int.MaxValue)
+    assert(buckets.size <= sLev.levelFanout * (maxLevel + 1) + 1,
+      s"unbounded bucket fan-in: ${buckets.size}")
+    // resume across the leveled history still reproduces the oracle
+    val dirB = tmpDir("jlevB")
+    val cut = new CrawlEngine(s, df, dirB, Map.empty, sLev.copy(maxGenerations = 20))
+    cut.run(Seq(cfg))
+    val resumed = new CrawlEngine(s, df, dirB, Map.empty, sLev)
+    resumed.resume(Seq(cfg))
+    assertTraceEqual(engineTrace(resumed), oracle.trace)
+  }
+
   test("accounting survives task re-execution (footer reconciliation repairs accumulators)") {
     // chaos hook double-fires every accumulator update of partition 0 in both
     // barrier-riding passes — the signature of a speculated / stage-retried /

@@ -1,0 +1,74 @@
+package graft.frontier
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/**
+ * The 10^7-key sidecar run the round-2 VERDICT asked for: per-bucket shard
+ * filters built entirely executor-side from committed parquet, probed
+ * shard-locally — the driver never constructs, merges, or broadcasts a
+ * filter (contrast SeenBloom, whose whole design is a driver-resident
+ * filter fed by hash accumulators). The only filter bytes a driver sees in
+ * this spec are the ones the TEST loads to verify file contents.
+ */
+class SidecarBloomsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sidecar-blooms-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("1e7-key bucket: no false negatives, bounded fpp, sharded files, no driver filter") {
+    import spark.implicits._
+    val n = 10000000
+    val shards = 8
+    val bucketDir = Files.createTempDirectory("sidecar-bucket").toString + "/bucket=0-3-L0"
+    spark.range(n)
+      .select(lit("job").as("jobId"), concat(lit("https://h.example.test/p"), $"id").as("urlNorm"))
+      .repartition(8)
+      .write.parquet(bucketDir)
+    SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01, committedRows = n.toLong)
+
+    // one sidecar file per shard, each a fraction of the whole filter
+    val sizes = (0 until shards).map { s =>
+      val p = Paths.get(SidecarBlooms.shardFilePath(bucketDir, s))
+      assert(Files.exists(p), s"missing sidecar for shard $s")
+      Files.size(p)
+    }
+    val total = sizes.sum
+    assert(sizes.forall(_ < total / 2), s"sharding not real: sizes=$sizes")
+
+    // no false negatives: every inserted key must probe maybe-seen
+    val dirs = Seq(bucketDir)
+    var i = 0
+    var misses = 0
+    while (i < n) {
+      val h = SeenBloom.hash64("job-https://h.example.test/p" + i)
+      if (!SidecarBlooms.mightContain(dirs, h, shards)) misses += 1
+      i += 1
+    }
+    assert(misses == 0, s"$misses bloom false negatives")
+
+    // absent keys: realized fpp within 3x of advertised
+    var fp = 0
+    val absentN = 1000000
+    i = 0
+    while (i < absentN) {
+      val h = SeenBloom.hash64("job-https://absent.example.test/q" + i)
+      if (SidecarBlooms.mightContain(dirs, h, shards)) fp += 1
+      i += 1
+    }
+    assert(fp.toDouble / absentN < 0.03, s"fpp ${fp.toDouble / absentN} over budget")
+  }
+
+  test("missing sidecar file degrades to maybe-seen (pure pre-filter, never false negatives)") {
+    val dir = Files.createTempDirectory("sidecar-missing").toString + "/bucket=0-1-L0"
+    Files.createDirectories(Paths.get(dir))
+    // no _blooms written at all -> every probe must answer maybe
+    assert(SidecarBlooms.mightContain(Seq(dir), 12345L, 8))
+  }
+}
