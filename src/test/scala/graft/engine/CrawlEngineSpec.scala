@@ -352,6 +352,33 @@ class CrawlEngineSpec extends AnyFunSuite {
       ((op.enqueued, op.done, op.succeeded, op.failed)))
   }
 
+  test("canonical trace fixture: committed byte-exact trace at fixed seed/config") {
+    // The q24-family ground truth made diff-visible (VERDICT r2 ask #8): the
+    // full canonical trace of a fixed crawl (seed 42, 80-page/4-host corpus,
+    // limit 40, depth 10) lives in the repo as a TSV fixture. Any engine
+    // change that shifts scheduling, seq assignment, retries or dedup shows
+    // up as a fixture diff in review, not only as an in-test oracle failure.
+    // Regenerate with GOLDEN_UPDATE=1 and re-audit the diff.
+    val cfg = CrawlConfig("jfix", Seq("https://host0.example.test/p0.html"),
+      limit = 40, maxDepth = 10)
+    val dir = tmpDir("jfix")
+    val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+    engine.run(Seq(cfg))
+    val got = engineTrace(engine).map(t =>
+      s"${t.jobId}\t${t.seq}\t${t.url}\t${t.depth}\t${t.attempt}\t${t.status}").mkString("", "\n", "\n")
+    val fixture = java.nio.file.Paths.get("src/test/resources/fixtures/crawl_trace_jfix.tsv")
+    if (sys.env.get("GOLDEN_UPDATE").contains("1")) {
+      Files.createDirectories(fixture.getParent)
+      Files.write(fixture, got.getBytes("UTF-8"))
+    }
+    assert(Files.exists(fixture), s"missing fixture $fixture — regenerate with GOLDEN_UPDATE=1")
+    val want = new String(Files.readAllBytes(fixture), "UTF-8")
+    assert(got == want, "canonical trace drifted from the committed fixture")
+    // and the fixture itself agrees with the sequential oracle
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg))
+    assertTraceEqual(engineTrace(engine), oracle.trace)
+  }
+
   test("multi-job crawl keeps jobs independent") {
     val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
     val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
