@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, Path, StandardCopyOption}
 import org.json4s._
 import org.json4s.jackson.Serialization
 import scala.jdk.CollectionConverters._
+import scala.collection.parallel.CollectionConverters._
 
 /**
  * Checkpoint / snapshot store for the BSP crawl loop (SURVEY §4.2).
@@ -121,9 +122,11 @@ final class Checkpoint(workDir: String) {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
-    fs.listStatus(p).iterator
+    // footer reads are independent point reads — fan them out (the serial
+    // version cost ~5 ms/file x files x generations on the superstep clock)
+    fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
+      .par.map { s =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
         try r.getRecordCount finally r.close()

@@ -324,107 +324,137 @@ final class CrawlEngine(
       udf((j: String) => b.value(j))
     }
 
-    // politeness: top hostBudget per (job, host), two-phase to dodge hot-host
-    // skew (SURVEY §2.8 C2). Phase 1 ranks within (job, host, salt) buckets;
-    // phase 2 ranks the <= salt*budget survivors exactly.
-    // small steps skip the salted pre-rank (one exact window, one shuffle):
-    // the pre-rank only exists to keep a hot key out of a single overloaded
-    // window partition, which cannot matter below saltMinBatch rows
+    // politeness: top hostBudget per (job, host), limit: top remaining per
+    // job (P6/W1), both in canonical order, then per-job seq assignment.
+    //
+    // SMALL steps (pending < saltMinBatch) take a one-exchange plan: shuffle
+    // the pending set by jobId once and run the whole schedule — canonical
+    // sort, per-host budget walk, per-job limit prefix, seq numbering — as a
+    // single in-memory pass per job partition (a job's pending rows are
+    // bounded by the gate, so the sort is bounded). This replaces three
+    // exchanges, two window sorts and a range-sort sampling job per
+    // generation; at ~15 BFS generations per crawl that fixed latency was
+    // most of q24's floor. Semantics are identical by construction: the
+    // limit cut is a prefix (in canonical order) of the politeness
+    // survivors, which is exactly what the ordered walk emits.
+    //
+    // LARGE steps keep the two-phase salted windows (hot-host skew safety)
+    // + distributed sort + manual two-pass indexing: deterministic under
+    // any parallelism, no single-partition window, no driver data.
     val smallStep = lastPendTotal < settings.saltMinBatch
     val needPoliteness = active.exists(_.hostBudgetPerStep != Int.MaxValue)
-    val polite =
-      if (!needPoliteness) pend.toDF()
-      else {
-        val bb = budgetB
-        val budgetCol = udf((j: String) => bb.value(j): Long).apply($"jobId")
-        val w2 = Window.partitionBy($"jobId", $"host").orderBy(ordCols: _*)
-        val pre =
-          if (smallStep) pend.toDF()
-          else {
-            val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-            val w1 = Window.partitionBy($"jobId", $"host", salt).orderBy(ordCols: _*)
-            pend.toDF()
-              .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= budgetCol).drop("__r1")
-          }
-        pre.withColumn("__r2", row_number().over(w2)).filter($"__r2" <= budgetCol).drop("__r2")
-      }
-
-    // limit: top remaining per job (P6/W1), same two-phase shape
     val remaining = active.map { c =>
       val p = progress(c.jobId)
       c.jobId -> (if (c.limit > 0) math.max(0L, c.limit.toLong - p.done) else Long.MaxValue)
     }.toMap
     val needLimit = remaining.values.exists(_ != Long.MaxValue)
-    val batchDf =
-      if (!needLimit) polite
-      else {
-        val remCol = jobLookup(remaining)($"jobId")
-        val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
-        val pre =
-          if (smallStep) polite
-          else {
-            val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-            val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
-            polite.withColumn("__r1", row_number().over(w1)).filter($"__r1" <= remCol).drop("__r1")
-          }
-        pre.withColumn("__r2", row_number().over(w2)).filter($"__r2" <= remCol).drop("__r2")
-      }
-    val batch = batchDf.as[FrontierEntry]
-
-    if (timing) System.err.println(f"[timing] gen=$gen sched-build ${(System.nanoTime() - tSched) / 1e9}%.2f s")
-    // ------------------------------------------- seq assignment (canonical)
-    // Distributed sort + manual two-pass indexing: deterministic under any
-    // parallelism, no single-partition window. NOT RDD.zipWithIndex — its
-    // internal count job runs on the UNCACHED parent, executing the whole
-    // sort+politeness pipeline a second time per generation (measured ~40%
-    // of superstep latency). One collect over the cached sorted batch yields
-    // per-partition counts + per-job first positions + lineage together;
-    // global indexes are partition-offset + local position.
-    val sortedBase = batch
-      .orderBy($"jobId" :: ordCols.toList: _*)
-      .as[FrontierEntry].rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partStats: Array[(Int, Long, Map[String, Long])] = phase(gen, "seq-assign") {
-      sortedBase.mapPartitionsWithIndex { case (pi, it) =>
-        var n = 0L
-        val firsts = scala.collection.mutable.Map[String, Long]()
-        it.foreach { fe =>
-          if (!firsts.contains(fe.jobId)) firsts(fe.jobId) = n // local pos
-          n += 1
-        }
-        Iterator.single((pi, n, firsts.toMap))
-      }.collect()
-    }
-    val batchCount = partStats.map(_._2).sum
-    if (batchCount == 0) { sortedBase.unpersist(false); return false }
-    val tFetchBuild = System.nanoTime()
-    // partition offset = total rows in lower-numbered partitions
-    val byPi = partStats.sortBy(_._1)
-    val partOffsets: Map[Int, Long] = {
-      var acc = 0L
-      byPi.map { case (pi, n, _) => val o = pi -> acc; acc += n; o }.toMap
-    }
-    val firstIdxPerJob: Map[String, Long] = byPi.iterator
-      .flatMap { case (pi, _, firsts) => firsts.map { case (j, local) => j -> (partOffsets(pi) + local) } }
-      .toSeq.groupMapReduce(_._1)(_._2)(math.min)
-    val lineage: Map[String, Long] = partStats.map(s => s._1.toString -> s._2).toMap
     val offsets = seqOffsets
     val offB = spark.sparkContext.broadcast(offsets)
-    val firstB = spark.sparkContext.broadcast(firstIdxPerJob)
-    val partOffB = spark.sparkContext.broadcast(partOffsets)
-    val seqed: Dataset[CrawlEngine.SeqEntry] = spark.createDataset(
-      sortedBase.mapPartitionsWithIndex { case (pi, it) =>
-        val off = offB.value; val first = firstB.value
-        var local = -1L
-        val base = partOffB.value(pi)
-        it.map { fe =>
-          local += 1
-          val i = base + local
-          CrawlEngine.SeqEntry(fe.jobId, fe.url, fe.urlNorm, fe.host, fe.depth,
-            fe.priority, fe.parentUrl, fe.attempt,
-            off(fe.jobId) + (i - first(fe.jobId)))
+
+    // (rdd to build seqed from, the persisted rdd to release, count, lineage)
+    val (seqedBase, seqedCache, batchCount, lineage) =
+      if (smallStep) {
+        val bb = budgetB
+        val remB = spark.sparkContext.broadcast(remaining)
+        val scheduled = pend.repartition($"jobId").mapPartitions { it =>
+          val budgets = bb.value; val rem = remB.value; val off = offB.value
+          it.toArray.groupBy(_.jobId).iterator.flatMap { case (j, rs) =>
+            val budget = budgets(j)
+            val room = rem(j)
+            val sorted = rs.sortBy(e => (e.depth, e.priority, e.urlNorm))
+            val hostN = scala.collection.mutable.HashMap[String, Long]()
+            var taken = 0L
+            val out = Seq.newBuilder[CrawlEngine.SeqEntry]
+            sorted.foreach { e =>
+              if (taken < room) {
+                val c = hostN.getOrElse(e.host, 0L)
+                if (c < budget) {
+                  hostN(e.host) = c + 1
+                  out += CrawlEngine.SeqEntry(e.jobId, e.url, e.urlNorm, e.host, e.depth,
+                    e.priority, e.parentUrl, e.attempt, off(j) + taken)
+                  taken += 1
+                }
+              }
+            }
+            out.result()
+          }
+        }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats: Array[(Int, Long)] = phase(gen, "seq-assign") {
+          scheduled.mapPartitionsWithIndex { case (pi, it) =>
+            Iterator.single((pi, it.foldLeft(0L)((n, _) => n + 1)))
+          }.collect()
         }
-      })
+        (scheduled, scheduled, stats.map(_._2).sum,
+          stats.map(s => s._1.toString -> s._2).toMap: Map[String, Long])
+      } else {
+        val polite =
+          if (!needPoliteness) pend.toDF()
+          else {
+            val bb = budgetB
+            val budgetCol = udf((j: String) => bb.value(j): Long).apply($"jobId")
+            val w2 = Window.partitionBy($"jobId", $"host").orderBy(ordCols: _*)
+            val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
+            val w1 = Window.partitionBy($"jobId", $"host", salt).orderBy(ordCols: _*)
+            pend.toDF()
+              .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= budgetCol).drop("__r1")
+              .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= budgetCol).drop("__r2")
+          }
+        val batchDf =
+          if (!needLimit) polite
+          else {
+            val remCol = jobLookup(remaining)($"jobId")
+            val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
+            val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
+            val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
+            polite
+              .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= remCol).drop("__r1")
+              .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= remCol).drop("__r2")
+          }
+        val sortedBase = batchDf.as[FrontierEntry]
+          .orderBy($"jobId" :: ordCols.toList: _*)
+          .as[FrontierEntry].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val partStats: Array[(Int, Long, Map[String, Long])] = phase(gen, "seq-assign") {
+          sortedBase.mapPartitionsWithIndex { case (pi, it) =>
+            var n = 0L
+            val firsts = scala.collection.mutable.Map[String, Long]()
+            it.foreach { fe =>
+              if (!firsts.contains(fe.jobId)) firsts(fe.jobId) = n // local pos
+              n += 1
+            }
+            Iterator.single((pi, n, firsts.toMap))
+          }.collect()
+        }
+        // partition offset = total rows in lower-numbered partitions
+        val byPi = partStats.sortBy(_._1)
+        val partOffsets: Map[Int, Long] = {
+          var acc = 0L
+          byPi.map { case (pi, n, _) => val o = pi -> acc; acc += n; o }.toMap
+        }
+        val firstIdxPerJob: Map[String, Long] = byPi.iterator
+          .flatMap { case (pi, _, firsts) => firsts.map { case (j, local) => j -> (partOffsets(pi) + local) } }
+          .toSeq.groupMapReduce(_._1)(_._2)(math.min)
+        val firstB = spark.sparkContext.broadcast(firstIdxPerJob)
+        val partOffB = spark.sparkContext.broadcast(partOffsets)
+        val seqedRdd = sortedBase.mapPartitionsWithIndex { case (pi, it) =>
+          val off = offB.value; val first = firstB.value
+          var local = -1L
+          val base = partOffB.value(pi)
+          it.map { fe =>
+            local += 1
+            val i = base + local
+            CrawlEngine.SeqEntry(fe.jobId, fe.url, fe.urlNorm, fe.host, fe.depth,
+              fe.priority, fe.parentUrl, fe.attempt,
+              off(fe.jobId) + (i - first(fe.jobId)))
+          }
+        }
+        (seqedRdd, sortedBase, partStats.map(_._2).sum,
+          partStats.map(s => s._1.toString -> s._2).toMap: Map[String, Long])
+      }
+    if (timing) System.err.println(f"[timing] gen=$gen sched-build ${(System.nanoTime() - tSched) / 1e9}%.2f s")
+    if (batchCount == 0) { seqedCache.unpersist(false); return false }
+    val tFetchBuild = System.nanoTime()
+    val seqed: Dataset[CrawlEngine.SeqEntry] = spark.createDataset(seqedBase)
 
     // ------------------------------------------------------------ fetch J1
     // INNER join + small anti-join for misses instead of a LEFT join: a
@@ -509,7 +539,7 @@ final class CrawlEngine(
     if (timing) System.err.println(f"[timing] gen=$gen fetch-build ${(System.nanoTime() - tFetchBuild) / 1e9}%.2f s")
     phase(gen, "fetch-extract-write") { extracted.write.mode("overwrite").parquet(ckpt.resultsPath(gen)) }
     val tAcct = System.nanoTime()
-    sortedBase.unpersist(false)
+    seqedCache.unpersist(false)
 
     val res = extracted.toDF()
 
@@ -610,62 +640,6 @@ final class CrawlEngine(
     val useBloom = batchCount >= settings.bloomMinBatch
     val (seenBuckets, tailPaths) = ckpt.seenSources(gen)
     val bucketPaths = seenBuckets.map(ckpt.seenBucketPath)
-    // sidecar probing engages once compaction has produced filter-carrying
-    // buckets; before that (or below bloomMinBatch) everything goes to the
-    // exact anti-join, whose right side is then only the small tail
-    val sidecarProbe = settings.seenFilter == "sidecar" && useBloom && bucketPaths.nonEmpty
-
-    // in-batch dedup: canonical-min entry per (jobId, urlNorm) (U1).
-    // One hash shuffle + a partition-local sorted first-per-key scan. In
-    // sidecar mode the shuffle keys on shard-of-key instead — equal keys
-    // still co-locate (the shard is a pure function of the key), and each
-    // task then probes only its own shards' sidecar filters (executor-cached
-    // across supersteps) rather than pulling every shard of every bucket.
-    val dedupKeyed =
-      if (sidecarProbe) {
-        // BIGINT-only arithmetic (ANSI-safe); for power-of-two shard counts
-        // pmod takes the same low bits SidecarBlooms.shardOf does, so a
-        // task's rows map to exactly the shard filters it will load
-        val s = settings.sidecarShards
-        candRaw.repartition(expr("pmod(xxhash64(concat(jobId, '-', urlNorm)) ^ " +
-          s"shiftrightunsigned(xxhash64(concat(jobId, '-', urlNorm)), 32), ${s}L)"))
-      } else candRaw.repartition($"jobId", $"urlNorm")
-    val cand = dedupKeyed
-      .sortWithinPartitions($"jobId", $"urlNorm", $"depth", $"priority", $"parentUrl", $"url")
-      .mapPartitions { it =>
-        var lastJob: String = null
-        var lastNorm: String = null
-        it.filter { e =>
-          val keep = e.jobId != lastJob || e.urlNorm != lastNorm
-          if (keep) { lastJob = e.jobId; lastNorm = e.urlNorm }
-          keep
-        }
-      }
-
-    // ----------------------------------- seen-set dedup: bloom + exact (J2)
-    // driver mode: the broadcast SeenBloom covers EVERY seen key, so bloom
-    // negatives are final. sidecar mode (VERDICT r2 #2): per-bucket shard
-    // filters live next to the compacted seen parquet and are probed
-    // executor-locally — the driver never holds any filter — but they cover
-    // only bucketed generations, so bloom negatives still take an exact
-    // anti-join against the (small, recent) frontier tail.
-    val tagged =
-      if (sidecarProbe) {
-        val bp = bucketPaths
-        val sh = settings.sidecarShards
-        val mightContain = udf { (jobId: String, urlNorm: String) =>
-          graft.frontier.SidecarBlooms.mightContain(bp, SeenBloom.hash64(jobId + "-" + urlNorm), sh)
-        }
-        cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
-      } else if (useBloom && settings.seenFilter == "driver") {
-        val bloomB = spark.sparkContext.broadcast(bloom)
-        val mightContain = udf { (jobId: String, urlNorm: String) =>
-          bloomB.value.mightContain(jobId + "-" + urlNorm)
-        }
-        cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
-      } else cand.withColumn("__maybe", lit(true))
-    val definitelyNew0 = tagged.filter(!$"__maybe").drop("__maybe").as[FrontierEntry]
-    val positives = tagged.filter($"__maybe").drop("__maybe").as[FrontierEntry]
     val bucketsDfOpt: Option[DataFrame] =
       if (bucketPaths.isEmpty) None
       else Some(bucketPaths.map(p => spark.read.parquet(p).select($"jobId", $"urlNorm"))
@@ -674,40 +648,128 @@ final class CrawlEngine(
       if (tailPaths.isEmpty) None
       else Some(spark.read.schema(frontierSchema).parquet(tailPaths: _*)
         .where($"__fresh").select($"jobId", $"urlNorm"))
-    val survivors = (bucketsDfOpt.toSeq ++ tailDfOpt.toSeq).reduceOption(_ unionByName _) match {
-      case None => positives
-      case Some(seenDf) =>
-        positives.join(seenDf, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
-    }
-    val definitelyNew =
-      if (sidecarProbe) tailDfOpt match {
-        case Some(t) => definitelyNew0.join(t, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
-        case None => definitelyNew0
-      } else definitelyNew0
-    var fresh = definitelyNew.unionByName(survivors)
-
-    // enqueue-cap: never let a job's total enqueued exceed its limit
-    // (Base.ts:312-325 / enqueueLinks limit). Canonical-first wins.
+    val seenDfOpt = (bucketsDfOpt.toSeq ++ tailDfOpt.toSeq).reduceOption(_ unionByName _)
+    // enqueue-cap rooms (Base.ts:312-325 / enqueueLinks limit): never let a
+    // job's total enqueued exceed its limit; canonical-first wins
+    val capMap = active.map { c =>
+      val room = if (c.limit > 0) math.max(0L, c.limit.toLong - progress(c.jobId).enqueued) else Long.MaxValue
+      c.jobId -> room
+    }.toMap
     val capNeeded = active.exists(c => c.limit > 0)
-    if (capNeeded) {
-      val capMap = active.map { c =>
-        val room = if (c.limit > 0) math.max(0L, c.limit.toLong - progress(c.jobId).enqueued) else Long.MaxValue
-        c.jobId -> room
-      }.toMap
-      val capCol = jobLookup(capMap)($"jobId")
-      val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
-      val pre =
-        if (smallStep) fresh.toDF()
-        else {
+    // sidecar probing engages once compaction has produced filter-carrying
+    // buckets; before that (or below bloomMinBatch) everything goes to the
+    // exact anti-join, whose right side is then only the small tail
+    val sidecarProbe = settings.seenFilter == "sidecar" && useBloom && bucketPaths.nonEmpty
+    val enqueuedTotal = progress.values.map(_.enqueued).sum
+    // SMALL steps with a seen set small enough to broadcast take a
+    // one-exchange expansion (same shape as the scheduling fast path):
+    // shuffle candidates by jobId once, broadcast-anti-join the exact seen
+    // set (preserves the jobId clustering), then dedup (canonical-min per
+    // urlNorm) + canonical-order cap in a single in-memory pass per job.
+    // Replaces the dedup exchange + cap window exchange + two sorts.
+    val fastExpand = smallStep && enqueuedTotal < settings.broadcastBatchMax
+
+    val fresh: Dataset[FrontierEntry] =
+      if (fastExpand) {
+        val base = candRaw.repartition($"jobId")
+        val afterSeen = seenDfOpt match {
+          case Some(seenDf) =>
+            base.join(broadcast(seenDf), Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
+          case None => base
+        }
+        val capB = spark.sparkContext.broadcast(capMap)
+        afterSeen.mapPartitions { it =>
+          val cap = capB.value
+          it.toArray.groupBy(_.jobId).iterator.flatMap { case (j, rs) =>
+            val best = scala.collection.mutable.HashMap[String, FrontierEntry]()
+            rs.foreach { e =>
+              best.get(e.urlNorm) match {
+                case Some(c) if Ordering[(Int, Long, String, String)].lteq(
+                    (c.depth, c.priority, c.parentUrl, c.url),
+                    (e.depth, e.priority, e.parentUrl, e.url)) => ()
+                case _ => best(e.urlNorm) = e
+              }
+            }
+            val room = cap.getOrElse(j, Long.MaxValue)
+            val sorted = best.values.toArray.sortBy(e => (e.depth, e.priority, e.urlNorm))
+            (if (room >= sorted.length) sorted else sorted.take(room.toInt)).iterator
+          }
+        }
+      } else {
+        // in-batch dedup: canonical-min entry per (jobId, urlNorm) (U1).
+        // One hash shuffle + a partition-local sorted first-per-key scan. In
+        // sidecar mode the shuffle keys on shard-of-key instead — equal keys
+        // still co-locate (the shard is a pure function of the key), and each
+        // task then probes only its own shards' sidecar filters (executor-
+        // cached across supersteps) rather than every shard of every bucket.
+        val dedupKeyed =
+          if (sidecarProbe) {
+            // BIGINT-only arithmetic (ANSI-safe); for power-of-two shard
+            // counts pmod takes the same low bits SidecarBlooms.shardOf does,
+            // so a task's rows map to exactly the shard filters it will load
+            val s = settings.sidecarShards
+            candRaw.repartition(expr("pmod(xxhash64(concat(jobId, '-', urlNorm)) ^ " +
+              s"shiftrightunsigned(xxhash64(concat(jobId, '-', urlNorm)), 32), ${s}L)"))
+          } else candRaw.repartition($"jobId", $"urlNorm")
+        val cand = dedupKeyed
+          .sortWithinPartitions($"jobId", $"urlNorm", $"depth", $"priority", $"parentUrl", $"url")
+          .mapPartitions { it =>
+            var lastJob: String = null
+            var lastNorm: String = null
+            it.filter { e =>
+              val keep = e.jobId != lastJob || e.urlNorm != lastNorm
+              if (keep) { lastJob = e.jobId; lastNorm = e.urlNorm }
+              keep
+            }
+          }
+
+        // ------------------------------- seen-set dedup: bloom + exact (J2)
+        // driver mode: the broadcast SeenBloom covers EVERY seen key, so
+        // bloom negatives are final. sidecar mode (VERDICT r2 #2): per-bucket
+        // shard filters live next to the compacted seen parquet and are
+        // probed executor-locally — the driver never holds any filter — but
+        // they cover only bucketed generations, so bloom negatives still take
+        // an exact anti-join against the (small, recent) frontier tail.
+        val tagged =
+          if (sidecarProbe) {
+            val bp = bucketPaths
+            val sh = settings.sidecarShards
+            val mightContain = udf { (jobId: String, urlNorm: String) =>
+              graft.frontier.SidecarBlooms.mightContain(bp, SeenBloom.hash64(jobId + "-" + urlNorm), sh)
+            }
+            cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
+          } else if (useBloom && settings.seenFilter == "driver") {
+            val bloomB = spark.sparkContext.broadcast(bloom)
+            val mightContain = udf { (jobId: String, urlNorm: String) =>
+              bloomB.value.mightContain(jobId + "-" + urlNorm)
+            }
+            cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
+          } else cand.withColumn("__maybe", lit(true))
+        val definitelyNew0 = tagged.filter(!$"__maybe").drop("__maybe").as[FrontierEntry]
+        val positives = tagged.filter($"__maybe").drop("__maybe").as[FrontierEntry]
+        val survivors = seenDfOpt match {
+          case None => positives
+          case Some(seenDf) =>
+            positives.join(seenDf, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
+        }
+        val definitelyNew =
+          if (sidecarProbe) tailDfOpt match {
+            case Some(t) => definitelyNew0.join(t, Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
+            case None => definitelyNew0
+          } else definitelyNew0
+        var out = definitelyNew.unionByName(survivors)
+        if (capNeeded) {
+          val capCol = jobLookup(capMap)($"jobId")
+          val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
           val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
           val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
-          fresh.toDF()
+          out = out.toDF()
             .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= capCol).drop("__r1")
+            .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= capCol).drop("__r2")
+            .as[FrontierEntry]
         }
-      fresh = pre
-        .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= capCol).drop("__r2")
-        .as[FrontierEntry]
-    }
+        out
+      }
 
     // next frontier = (pending - batch) ∪ retries ∪ fresh.
     // Deferrals and retries come out of ONE left-outer join of the pending
@@ -763,7 +825,14 @@ final class CrawlEngine(
           r
         }
       }
-    phase(gen, "frontier-write") { nextFrontier.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
+    // Small steps coalesce the frontier write (no shuffle): a ~1k-row
+    // frontier written as 32+ files makes every later read of it — next
+    // gen's frontier scan plus up to compactEvery tail scans per anti-join —
+    // pay per-file listing/footer latency. Above saltMinBatch the write
+    // keeps full parallelism (the 100 TB shape).
+    val frontierOut =
+      if (lastPendTotal < settings.saltMinBatch) nextFrontier.coalesce(4) else nextFrontier
+    phase(gen, "frontier-write") { frontierOut.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
     val tPost = System.nanoTime()
     extracted.unpersist(false)
     // Same footer reconciliation as the results barrier: the pending /

@@ -257,10 +257,12 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   test("sidecar seen-filter: trace/seen exact, zero driver filter state, resume without snapshots") {
     val cfg = CrawlConfig("jsc", Seq("https://host0.example.test/p0.html"), limit = 40)
-    // bloomMinBatch=0 forces sidecar probing even at test-sized batches;
+    // bloomMinBatch=0 forces sidecar probing even at test-sized batches and
+    // broadcastBatchMax=0 keeps the small-step fast path (which would skip
+    // the probe in favor of its broadcast exact join) out of the way;
     // aggressive compaction so buckets (and their sidecars) actually form
     val sSide = settings.copy(seenFilter = "sidecar", sidecarShards = 4,
-      compactEvery = 2, levelFanout = 2, bloomMinBatch = 0L)
+      compactEvery = 2, levelFanout = 2, bloomMinBatch = 0L, broadcastBatchMax = 0L)
     val dir = tmpDir("jsc")
     val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, sSide)
     engine.run(Seq(cfg))
