@@ -460,6 +460,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q32_text_chunks" -> ((s, dir) => {
+      // F16 chunker over line-structured docs whose chunk walk is closed-
+      // form: every line is 4 tokens / 22 chars, maxTokens 16 (4 lines),
+      // overlap 4 tokens (1 line). The reference's startIndex arithmetic,
+      // overlap-gluing and empty-line skipping (TextChunker.ts:20-66) are
+      // mirrored bug-for-bug, so chunk boundaries / token counts / lengths
+      // are simple functions of doc_id a SQL oracle recomputes.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        repeat(lit("alpha beta gamma delta\n"),
+          (pmod(col("doc_id"), lit(10)) * 3 + 5).cast("int")).as("text"))
+      graft.pipeline.Chunker.chunkDocs(docs, "doc_id", "text", maxTokens = 16, overlapTokens = 4)
+        .toDF()
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start_line").cast("long").as("start_line"),
+          col("end_line").cast("long").as("end_line"),
+          col("tokens").cast("long").as("tokens"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    "q33_chunk_merge" -> ((s, dir) => {
+      // A7/U3 chunk-result merge with a by-construction oracle: per-chunk
+      // JSONs are closed-form in (doc_id, chunk_idx) and exercise every
+      // merge rule — falsy overwrite (empty title filled by a later chunk),
+      // array concat+first-occurrence dedup, shallow object merge with
+      // later-chunk wins, first-truthy-scalar kept, null fields skipped
+      val s2 = s
+      import s2.implicits._
+      val chunkRows = t(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { d =>
+        val n = (d % 4 + 2).toInt
+        (0 until n).map { i =>
+          val title = if (i == 0) "" else s"T$d"
+          (d, i, s"""{"title":"$title","lang":"en${d % 3}","tags":["t${(d + i) % 4}"],""" +
+            s""""meta":{"a":$i,"b":$d},"skip":null}""")
+        }
+      }.toDF("doc_id", "chunk_idx", "chunk_json")
+      graft.pipeline.ChunkMerge.mergeChunkResults(chunkRows, "doc_id", "chunk_idx", "chunk_json")
+        .toDF().select(col("doc_id"), col("merged"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q31_credit_cost" -> ((s, dir) => {
       // A4 credit-cost accounting shape (Progress.ts:178-255): per-page cost
       // via a when() chain folded into per-account totals
@@ -742,6 +783,35 @@ object SparkEntry {
         |        ELSE 'zh' END END AS pred
         |  FROM documents) x
         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    // the closed-form chunk walk (see the q32 query comment): chunk 0 is 4
+    // full lines; middles carry 1 overlap line glued to the first added
+    // line (one newline fewer -> 90 chars); the final chunk is overlap + 1
+    // line (44) and ends on the trailing empty line's index (3d+5)
+    "q32_text_chunks" ->
+      """SELECT doc_id, j AS chunk_idx,
+        |  CASE WHEN j = 0 THEN 0 WHEN j <= d THEN 3*j + 1 ELSE 3*d + 4 END AS start_line,
+        |  CASE WHEN j = 0 THEN 3 WHEN j <= d THEN 3*j + 3 ELSE 3*d + 5 END AS end_line,
+        |  CAST(CASE WHEN j <= d THEN 16 ELSE 8 END AS BIGINT) AS tokens,
+        |  CAST(CASE WHEN j = 0 THEN 91 WHEN j <= d THEN 90 ELSE 44 END AS BIGINT) AS chunk_len
+        |FROM (SELECT doc_id, doc_id % 10 AS d FROM documents) x
+        |CROSS JOIN range(12) t(j)
+        |WHERE j <= d + 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // merged object regenerated field-by-field: title filled by the first
+    // truthy chunk, lang kept from chunk 0, tags = first-occurrence dedup of
+    // ["t(d+i)%4"] over i (min(n,4) distinct values in arrival order),
+    // meta.a = last chunk's index (shallow-merge later-wins), skip dropped
+    "q33_chunk_merge" ->
+      """SELECT doc_id,
+        |  '{"title":"T' || doc_id || '","lang":"en' || (doc_id % 3) || '","tags":[' ||
+        |  string_agg('"t' || ((doc_id + j) % 4) || '"', ',' ORDER BY j) ||
+        |  '],"meta":{"a":' || (n - 1) || ',"b":' || doc_id || '}}' AS merged
+        |FROM (SELECT doc_id, (doc_id % 4) + 2 AS n FROM documents) x
+        |CROSS JOIN range(4) t(j)
+        |WHERE j < least(n, 4)
+        |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // closed-form extractor-output lengths for the synthesized pages
     // (t = len('Doc '||id), body = 12*((id%13)+1)-1): md = 3t+5+body,

@@ -667,7 +667,12 @@ final class CrawlEngine(
     // set (preserves the jobId clustering), then dedup (canonical-min per
     // urlNorm) + canonical-order cap in a single in-memory pass per job.
     // Replaces the dedup exchange + cap window exchange + two sorts.
-    val fastExpand = smallStep && enqueuedTotal < settings.broadcastBatchMax
+    // Gated TIGHTER than the scheduling fast path: a job's candidates all
+    // flow through one task here, and candidates ~ pending x branching —
+    // at 16k pending x 16 links that single task serializes 256k rows,
+    // which measurably throttled the 32-core scaling bench.
+    val fastExpand = lastPendTotal < settings.fastExpandMaxPend &&
+      enqueuedTotal < settings.broadcastBatchMax
 
     val fresh: Dataset[FrontierEntry] =
       if (fastExpand) {
@@ -828,10 +833,11 @@ final class CrawlEngine(
     // Small steps coalesce the frontier write (no shuffle): a ~1k-row
     // frontier written as 32+ files makes every later read of it — next
     // gen's frontier scan plus up to compactEvery tail scans per anti-join —
-    // pay per-file listing/footer latency. Above saltMinBatch the write
-    // keeps full parallelism (the 100 TB shape).
+    // pay per-file listing/footer latency. Gated on fastExpandMaxPend, not
+    // saltMinBatch: coalesce collapses the whole post-shuffle expansion
+    // stage to 4 tasks, which is only safe when candidates are small too.
     val frontierOut =
-      if (lastPendTotal < settings.saltMinBatch) nextFrontier.coalesce(4) else nextFrontier
+      if (lastPendTotal < settings.fastExpandMaxPend) nextFrontier.coalesce(4) else nextFrontier
     phase(gen, "frontier-write") { frontierOut.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
     val tPost = System.nanoTime()
     extracted.unpersist(false)
@@ -949,6 +955,9 @@ object CrawlEngine {
       // deployment shape; see SidecarBlooms).
       seenFilter: String = "driver",
       sidecarShards: Int = 32,
+      // single-task-per-job ceiling for the one-pass expansion fast path
+      // (candidates ~ pending x branching must fit one task comfortably)
+      fastExpandMaxPend: Long = 8192L,
       // leveled seen compaction: buckets per level before they merge upward
       levelFanout: Int = 4,
       // test hook: double-fire every accumulator update of partition 0 in
