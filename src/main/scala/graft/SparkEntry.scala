@@ -501,6 +501,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q34_llm_extract" -> ((s, dir) => {
+      // F15 end-to-end minus the model call (LLMExtract.ts:277-414): schema
+      // normalize -> field prompt -> chunk (same closed-form text as q32) ->
+      // per-chunk extract via a deterministic generateObject stand-in whose
+      // output depends only on the chunk content -> ChunkMerge fold. Chunk
+      // content lengths are closed-form (91 / 90 x d / 44 chars), so the
+      // merged JSON, chunk count, and the two schema-derived constants are
+      // all recomputable by the SQL oracle from hand-traced reference
+      // semantics (the normalized-schema and field-prompt literals in the
+      // oracle were derived from LLMExtract.ts:20-69/176-205 by hand, so
+      // DuckDB checks this code against the spec, not against itself).
+      import graft.pipeline.LLMExtract
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        repeat(lit("alpha beta gamma delta\n"),
+          (pmod(col("doc_id"), lit(10)) * 3 + 5).cast("int")).as("text"))
+      val norm = LLMExtract.normalizeSchema(
+        org.json4s.jackson.JsonMethods.parse(Q34Schema))
+      val normStr = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(norm))
+      val fieldPrompt = LLMExtract.createFieldPrompt(norm)
+      LLMExtract.extractDocs(docs, "doc_id", "text", Q34Schema,
+          maxTokensInput = 16, chunkOverlap = 4, userPrompt = None, chunkExtractor = Q34Extractor)
+        .toDF()
+        .select(col("doc_id"), col("chunks").cast("long").as("chunks"), col("data"),
+          lit(normStr).as("schema_norm"), lit(fieldPrompt).as("field_prompt"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q31_credit_cost" -> ((s, dir) => {
       // A4 credit-cost accounting shape (Progress.ts:178-255): per-page cost
       // via a when() chain folded into per-account totals
@@ -513,6 +541,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     })
   )
+
+  /** q34's extraction schema: exercises default-stripping, the nested-array
+    * wrap quirk, and object-node additionalProperties enforcement. */
+  private val Q34Schema: String =
+    """{"title":{"type":"string","default":"none","description":"Page title"},""" +
+      """"tags":{"type":"array","items":{"type":"string"}},""" +
+      """"author":{"type":"object","properties":{"name":{"type":"string"},"age":{"type":"number","default":0}},"required":["name"]}}"""
+
+  /** q34's deterministic `generateObject` stand-in: output is a pure
+    * function of the prompt's content section, so the merged result is
+    * closed-form in the chunk-length multiset (91 / 90×d / 44). */
+  private val Q34Extractor: (String, org.json4s.JValue) => org.json4s.JValue = (p, _) => {
+    import org.json4s._
+    val c = p.substring(p.indexOf("\n\nContent:\n") + 11)
+    JObject(
+      "title" -> (if (c.length == 91) JString("") else JString("T" + c.length)),
+      "len" -> JInt(c.length),
+      "tags" -> JArray(List(JString("L" + c.length % 7))),
+      "meta" -> JObject("last" -> JInt(c.length)),
+      "nil" -> JNull)
+  }
 
   /** Deterministic ANN query vector (dim 64, values in [-0.9, 0.9]). */
   private val annQuery: Seq[Double] =
@@ -812,6 +861,28 @@ object SparkEntry {
         |CROSS JOIN range(4) t(j)
         |WHERE j < least(n, 4)
         |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // the schema_norm / field_prompt literals below were hand-traced from
+    // LLMExtract.ts:20-69 (normalize) and :176-205 (field prompt) for
+    // Q34Schema — the oracle checks the code against the reference spec.
+    // data: chunk lengths are 91 (first), 90 (each middle, d of them), 44
+    // (last); title "" from chunk 0 is falsy-overwritten by the next chunk
+    // (T90, or T44 when d=0), len keeps the first truthy 91, tags dedup
+    // first-occurrence (91%7=0, 90%7=6, 44%7=2), meta shallow-merge keeps
+    // the last chunk's {last:44}, and the null field never lands.
+    "q34_llm_extract" ->
+      ("""SELECT doc_id, CAST((doc_id % 10) + 2 AS BIGINT) AS chunks,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN '{"title":"T44","len":91,"tags":["L0","L2"],"meta":{"last":44}}'
+        |    ELSE '{"title":"T90","len":91,"tags":["L0","L6","L2"],"meta":{"last":44}}' END AS data,
+        |  '{"type":"object","properties":{"title":{"type":"string","description":"Page title"},"tags":{"type":"object","properties":{"items":{"type":"array","items":{"type":"string"}}},"required":["items"],"additionalProperties":false},"author":{"type":"object","properties":{"name":{"type":"string"},"age":{"type":"number"}},"required":["name"],"additionalProperties":false}},"required":["title","tags","author"],"additionalProperties":false}' AS schema_norm,
+        |  '- title (string): Page title""".stripMargin + "\n" +
+        "- tags (object): \n" +
+        "    - items (array of strings): \n" +
+        "- author (object): \n" +
+        "    - name (string): \n" +
+        "    - age (number): ' AS field_prompt\n" +
+        "FROM documents ORDER BY doc_id"),
 
     // closed-form extractor-output lengths for the synthesized pages
     // (t = len('Doc '||id), body = 12*((id%13)+1)-1): md = 3t+5+body,
