@@ -529,6 +529,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q35_proxy_plan" -> ((s, dir) => {
+      // C5/C6 egress decisions (Proxy.ts:274-327, HttpClient.ts:59-79):
+      // per-request 3-attempt proxy schedule with tier stepping, rule-merge
+      // rotation for matched hosts (host3), and the 20s timeout
+      // classification over a closed-form synthetic latency. rotation index
+      // = seq*3 + attempt-1 (canonical-sequence pinning, see ProxySession
+      // scaladoc), so every cell is SQL-recomputable.
+      import graft.engine.{ProxySession, ProxyRouter}
+      val cfg = ProxySession.TieredConfig(
+        tiers = IndexedSeq(IndexedSeq("t0a", "t0b"), IndexedSeq("t1a")),
+        rules = Seq(ProxyRouter.ProxyRule(domain = Some("host3.example.com"), proxy = "rule-proxy")))
+      val planCol = ProxySession.attemptPlanColumn(s, cfg, retries = 2)
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://host"), pmod(col("doc_id"), lit(5)),
+          lit(".example.com/p/"), col("doc_id")).as("url"),
+        (pmod(col("doc_id") * 7919, lit(30000))).as("latency_ms"))
+      base.select(col("doc_id"), col("latency_ms"),
+          explode(planCol(col("url"), col("doc_id"))).as("a"))
+        .select(col("doc_id"),
+          col("a._1").cast("long").as("attempt"),
+          col("a._2").cast("long").as("tier"),
+          col("a._3").as("proxy"),
+          (col("latency_ms") > lit(ProxySession.HttpTimeoutMsDefault)).as("timed_out"))
+        .orderBy(col("doc_id"), col("attempt"))
+    }),
+
     "q31_credit_cost" -> ((s, dir) => {
       // A4 credit-cost accounting shape (Progress.ts:178-255): per-page cost
       // via a when() chain folded into per-account totals
@@ -883,6 +909,22 @@ object SparkEntry {
         "    - name (string): \n" +
         "    - age (number): ' AS field_prompt\n" +
         "FROM documents ORDER BY doc_id"),
+
+    // rotation index rot = 3*doc_id + (attempt-1). host d%5==3 matches the
+    // domain rule -> merged list [rule-proxy,t0a,t0b,t1a] rotation, tier
+    // null. Otherwise attempt 1 -> tier 0 [t0a,t0b], attempt 2 -> tier 1
+    // [t1a], attempt 3 asks tier 2 (invalid) -> fresh-domain prediction 0.
+    "q35_proxy_plan" ->
+      """SELECT doc_id, j AS attempt,
+        |  CASE WHEN doc_id % 5 = 3 THEN NULL
+        |       WHEN j = 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS tier,
+        |  CASE WHEN doc_id % 5 = 3
+        |    THEN list_extract(['rule-proxy','t0a','t0b','t1a'], CAST((3*doc_id + j - 1) % 4 AS INT) + 1)
+        |    WHEN j = 2 THEN 't1a'
+        |    ELSE list_extract(['t0a','t0b'], CAST((3*doc_id + j - 1) % 2 AS INT) + 1) END AS proxy,
+        |  ((doc_id * 7919) % 30000) > 20000 AS timed_out
+        |FROM documents CROSS JOIN range(1, 4) t(j)
+        |ORDER BY doc_id, attempt""".stripMargin,
 
     // closed-form extractor-output lengths for the synthesized pages
     // (t = len('Doc '||id), body = 12*((id%13)+1)-1): md = 3t+5+body,
