@@ -555,6 +555,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("attempt"))
     }),
 
+    "q36_browser_render" -> ((s, dir) => {
+      // S2 browser-layer decision model (EngineConfigurator.ts:150-199,
+      // 264-461): ad-block interception (substring semantics over the
+      // reference's 13-domain table), nav-budget resolution, and the preNav
+      // response-capture rule engine, evaluated over a sub-resource log
+      // closed-form in doc_id (BrowserRender.syntheticResources): request i
+      // of page d is an ad iff (d+i)%3==0 (ads produce no response, so an
+      // ad-colliding capture target is never captured) and page d's API
+      // target has an empty body iff d%5==4 — every output cell is
+      // SQL-recomputable. The render itself (JS execution) is the
+      // documented capability gap; pages carry the rendered DOM.
+      import graft.engine.BrowserRender
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      BrowserRender.renderPlan(BrowserRender.syntheticResources(s, docs),
+          Seq(("api", Seq(("glob", "https://api.example.com/**"))),
+              ("asset", Seq(("glob", "https://static.example.com/**")))))
+        .toDF()
+        .select(col("doc_id"),
+          col("total_requests").cast("long").as("total_requests"),
+          col("blocked_requests").cast("long").as("blocked_requests"),
+          col("nav_timeout_ms").cast("long").as("nav_timeout_ms"),
+          col("wait_until"),
+          array_join(array_sort(col("captured_keys")), ",").as("captured"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q31_credit_cost" -> ((s, dir) => {
       // A4 credit-cost accounting shape (Progress.ts:178-255): per-page cost
       // via a when() chain folded into per-account totals
@@ -925,6 +951,20 @@ object SparkEntry {
         |  ((doc_id * 7919) % 30000) > 20000 AS timed_out
         |FROM documents CROSS JOIN range(1, 4) t(j)
         |ORDER BY doc_id, attempt""".stripMargin,
+
+    // S2 decisions recomputed from the synthetic-resource construction:
+    // blocked = |{i in 0..5 : (d+i)%3=0}| (a true recompute via range());
+    // 'api' captured unless its slot collided with an ad or its body was
+    // empty; 'asset' always has a non-ad, non-empty static hit
+    "q36_browser_render" ->
+      """SELECT d.doc_id, CAST(6 AS BIGINT) AS total_requests,
+        |  count(*) FILTER (WHERE (d.doc_id + t.i) % 3 = 0) AS blocked_requests,
+        |  CAST(30000 AS BIGINT) AS nav_timeout_ms,
+        |  'domcontentloaded' AS wait_until,
+        |  CASE WHEN (d.doc_id + d.doc_id % 6) % 3 <> 0 AND d.doc_id % 5 <> 4
+        |    THEN 'api,asset' ELSE 'asset' END AS captured
+        |FROM documents d CROSS JOIN range(0, 6) t(i)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // closed-form extractor-output lengths for the synthesized pages
     // (t = len('Doc '||id), body = 12*((id%13)+1)-1): md = 3t+5+body,
