@@ -118,10 +118,18 @@ final class Checkpoint(workDir: String) {
    * no re-execution inflated the counters (updates cannot under-count: they
    * ride task success, and only successful tasks commit files).
    */
-  def committedRowCount(dir: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+  def committedRowCount(dir: String, conf: org.apache.hadoop.conf.Configuration): Long =
+    committedFileRows(dir, conf).map(_._2).sum
+
+  /** Per-file committed row counts (parquet footer record counts) — the
+    * write's own partition structure, exactly-once by construction (only
+    * committed files are listed). Doubles as the manifest's per-partition
+    * lineage on the small-step path. */
+  def committedFileRows(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return 0L
+    if (!fs.exists(p)) return Nil
     // footer reads are independent point reads — fan them out (the serial
     // version cost ~5 ms/file x files x generations on the superstep clock)
     fs.listStatus(p).toSeq
@@ -129,8 +137,8 @@ final class Checkpoint(workDir: String) {
       .par.map { s =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+        try (s.getPath.getName, r.getRecordCount) finally r.close()
+      }.seq.sortBy(_._1)
   }
 
   def readManifest(gen: Int): Option[GenManifest] = {

@@ -244,7 +244,10 @@ final class CrawlEngine(
       // NOTE: each generation re-roots from parquet deliberately — carrying
       // a persisted Dataset across supersteps embeds the previous plan into
       // the next one (pend is referenced several times per step), so plan
-      // trees grow exponentially with generations.
+      // trees grow exponentially with generations. (An SQL-cached handoff of
+      // the just-written frontier was tried and reverted: recache-on-write
+      // hits a Spark internal NPE, and the parquet re-read it saves is tens
+      // of ms against the OS page cache.)
       val frontier = spark.read.schema(frontierSchema).parquet(ckpt.frontierPath(gen))
         .select("jobId", "url", "urlNorm", "host", "depth", "priority", "parentUrl", "attempt")
         .as[FrontierEntry]
@@ -352,11 +355,19 @@ final class CrawlEngine(
     val offB = spark.sparkContext.broadcast(offsets)
 
     // (rdd to build seqed from, the persisted rdd to release, count, lineage)
+    // SMALL steps defer the batch count (-1 sentinel): the whole schedule is
+    // a single narrow coalesce(1) pass (pending is gate-bounded), NO count
+    // job runs before the fetch — the count rides the results write's
+    // accumulator (footer-reconciled), the per-partition lineage comes from
+    // the committed results files themselves, and the join strategy is
+    // unconditionally broadcast (batch <= pending < saltMinBatch <=
+    // broadcastBatchMax). Saves one Spark job + one AQE shuffle stage per
+    // generation — at ~15 BFS generations that was ~15% of q24's floor.
     val (seqedBase, seqedCache, batchCount, lineage) =
       if (smallStep) {
         val bb = budgetB
         val remB = spark.sparkContext.broadcast(remaining)
-        val scheduled = pend.repartition($"jobId").mapPartitions { it =>
+        val scheduled = pend.coalesce(1).mapPartitions { it =>
           val budgets = bb.value; val rem = remB.value; val off = offB.value
           it.toArray.groupBy(_.jobId).iterator.flatMap { case (j, rs) =>
             val budget = budgets(j)
@@ -379,13 +390,7 @@ final class CrawlEngine(
             out.result()
           }
         }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val stats: Array[(Int, Long)] = phase(gen, "seq-assign") {
-          scheduled.mapPartitionsWithIndex { case (pi, it) =>
-            Iterator.single((pi, it.foldLeft(0L)((n, _) => n + 1)))
-          }.collect()
-        }
-        (scheduled, scheduled, stats.map(_._2).sum,
-          stats.map(s => s._1.toString -> s._2).toMap: Map[String, Long])
+        (scheduled, scheduled, -1L, Map.empty[String, Long])
       } else {
         val polite =
           if (!needPoliteness) pend.toDF()
@@ -452,7 +457,7 @@ final class CrawlEngine(
           partStats.map(s => s._1.toString -> s._2).toMap: Map[String, Long])
       }
     if (timing) System.err.println(f"[timing] gen=$gen sched-build ${(System.nanoTime() - tSched) / 1e9}%.2f s")
-    if (batchCount == 0) { seqedCache.unpersist(false); return false }
+    if (batchCount == 0L) { seqedCache.unpersist(false); return false }
     val tFetchBuild = System.nanoTime()
     val seqed: Dataset[CrawlEngine.SeqEntry] = spark.createDataset(seqedBase)
 
@@ -470,6 +475,8 @@ final class CrawlEngine(
     // large batches take the shuffled-hash path with the batch as build
     // side. Both pinned by hint — AQE flip-flopping near thresholds made
     // benchmarks bimodal.
+    // batchCount == -1 (deferred, small-step) implies batch < saltMinBatch
+    // <= broadcastBatchMax -> broadcast unconditionally
     val fetchLeft =
       if (batchCount <= settings.broadcastBatchMax) seqed.hint("broadcast")
       else seqed.hint("shuffle_hash")
@@ -554,10 +561,11 @@ final class CrawlEngine(
     // so seqOffsets and the finalize decision always derive from committed
     // state, never from an inflated counter.
     val hconf = spark.sessionState.newHadoopConf()
+    val resultFileRows = ckpt.committedFileRows(ckpt.resultsPath(gen), hconf)
+    val committedRows = resultFileRows.map(_._2).sum
     val stats = {
       val acc = statAcc.value
       val accFetched = acc.iterator.collect { case (k, v) if k.endsWith("\u001ffetched") => v }.sum
-      val committedRows = ckpt.committedRowCount(ckpt.resultsPath(gen), hconf)
       if (accFetched == committedRows) acc
       else {
         System.err.println(s"[crawl] gen=$gen results accumulator total $accFetched != " +
@@ -588,6 +596,17 @@ final class CrawlEngine(
         creditsUsed = p.creditsUsed + stat(j, "cost"))
       seqOffsets += j -> (seqOffsets(j) + stat(j, "fetched"))
     }
+
+    // Deferred batch count (small-step path): the committed results rows ARE
+    // the batch — an empty write means nothing was schedulable, same exit as
+    // the old pre-fetch zero check, one generation later but one job cheaper
+    // on every non-empty generation. Lineage likewise comes from the
+    // committed files (exactly-once by construction).
+    val actualBatch = if (batchCount >= 0L) batchCount else committedRows
+    val lineageOut =
+      if (batchCount >= 0L) lineage
+      else resultFileRows.map { case (f, n) => f -> n }.toMap
+    if (actualBatch == 0L) { extracted.unpersist(false); return false }
 
     val tExp = System.nanoTime()
     if (timing) System.err.println(f"[timing] gen=$gen acct ${(tExp - tAcct) / 1e9}%.2f s")
@@ -676,7 +695,10 @@ final class CrawlEngine(
 
     val fresh: Dataset[FrontierEntry] =
       if (fastExpand) {
-        val base = candRaw.repartition($"jobId")
+        // coalesce, not repartition: the gate already bounds candidates to a
+        // single comfortable task, and a narrow coalesce skips the AQE
+        // shuffle-stage round trip a repartition pays (one per generation)
+        val base = candRaw.coalesce(1)
         val afterSeen = seenDfOpt match {
           case Some(seenDf) =>
             base.join(broadcast(seenDf), Seq("jobId", "urlNorm"), "left_anti").as[FrontierEntry]
@@ -881,10 +903,10 @@ final class CrawlEngine(
       generation = gen,
       progress = progress.values.toSeq.sortBy(_.jobId),
       seqOffsets = seqOffsets,
-      batchCount = batchCount,
+      batchCount = actualBatch,
       freshCount = freshCounts.values.sum,
-      partitionLineage = lineage,
-      fetchedPages = batchCount,
+      partitionLineage = lineageOut,
+      fetchedPages = actualBatch,
       extractedDocs = statJobs.toSeq.map(j => stat(j, "succ")).sum,
       wallMillis = System.currentTimeMillis() - t0),
       // full filter snapshot only on the compaction cadence; other
