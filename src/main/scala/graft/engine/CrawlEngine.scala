@@ -306,7 +306,30 @@ final class CrawlEngine(
     }
   }
 
-  private def superstep(gen: Int, frontier: Dataset[FrontierEntry]): Boolean = {
+  /** Small steps run with AQE off, restored after. Every exchange AQE
+    * materializes is a separate job round-trip on the driver; a small-step
+    * generation has ~6 exchanges of a few hundred rows whose plans are
+    * already final (joins hint-pinned broadcast, partitioning coalesced by
+    * the gates), so runtime re-planning can improve nothing and measurably
+    * costs ~0.25 s/generation in stage-boundary latency. Wide steps — the
+    * 100 TB shape — keep AQE for skew-join splitting and partition
+    * coalescing. Scoped set + restore: the engine owns the session for the
+    * duration of the superstep (run() is single-threaded per engine).
+    */
+  private def superstep(gen: Int, frontier: Dataset[FrontierEntry]): Boolean =
+    if (lastPendTotal >= settings.saltMinBatch) superstepBody(gen, frontier)
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val was = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try superstepBody(gen, frontier)
+      finally was match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+  private def superstepBody(gen: Int, frontier: Dataset[FrontierEntry]): Boolean = {
     val t0 = System.currentTimeMillis()
     val tSched = System.nanoTime()
     val active = activeJobs
