@@ -567,9 +567,36 @@ final class CrawlEngine(
     // (columnar, pruned) instead of re-reading the parquet just written
     extracted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (timing) System.err.println(f"[timing] gen=$gen fetch-build ${(System.nanoTime() - tFetchBuild) / 1e9}%.2f s")
-    phase(gen, "fetch-extract-write") { extracted.write.mode("overwrite").parquet(ckpt.resultsPath(gen)) }
-    val tAcct = System.nanoTime()
-    seqedCache.unpersist(false)
+    // SMALL steps run the results write CONCURRENTLY with link expansion +
+    // the frontier write (the two barriers are each ~1/3 of the superstep
+    // floor and share no data dependency: expansion reads the `extracted`
+    // CACHE, accounting reads the committed parquet footers, and the
+    // progress fields expansion consumes — enqueued caps — are not the ones
+    // accounting writes — done/succ/fail/seqOffsets, all consumed at the
+    // NEXT generation's scheduling). Cache coherence under two concurrent
+    // jobs is Spark's block-level write lock: whichever job's task reaches
+    // an uncached partition first computes and caches it, the other blocks
+    // then reads — each partition (and so each accumulator update) is
+    // computed exactly once, and the footer reconciliation below remains the
+    // safety net. Wide steps keep sequential barriers: their writes are
+    // bandwidth-bound, so overlap buys nothing and halves each job's
+    // effective cores.
+    val doResultsWrite = () => phase(gen, "fetch-extract-write") {
+      extracted.write.mode("overwrite").parquet(ckpt.resultsPath(gen))
+    }
+    val resultsFut: Option[java.util.concurrent.Future[Unit]] =
+      if (smallStep) {
+        val sess = spark
+        Some(CrawlEngine.resultsWritePool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // planning in this thread resolves SQLConf through the
+            // thread-local active session — pin it, or shuffle.partitions
+            // and the small-step AQE toggle fall back to defaults
+            org.apache.spark.sql.SparkSession.setActiveSession(sess)
+            doResultsWrite()
+          }
+        }))
+      } else { doResultsWrite(); seqedCache.unpersist(false); None }
 
     val res = extracted.toDF()
 
@@ -584,55 +611,65 @@ final class CrawlEngine(
     // so seqOffsets and the finalize decision always derive from committed
     // state, never from an inflated counter.
     val hconf = spark.sessionState.newHadoopConf()
-    val resultFileRows = ckpt.committedFileRows(ckpt.resultsPath(gen), hconf)
-    val committedRows = resultFileRows.map(_._2).sum
-    val stats = {
-      val acc = statAcc.value
-      val accFetched = acc.iterator.collect { case (k, v) if k.endsWith("\u001ffetched") => v }.sum
-      if (accFetched == committedRows) acc
-      else {
-        System.err.println(s"[crawl] gen=$gen results accumulator total $accFetched != " +
-          s"committed $committedRows (task re-execution); recomputing from committed parquet")
-        spark.read.parquet(ckpt.resultsPath(gen))
-          .groupBy($"jobId")
-          .agg(count(lit(1)).as("f"),
-            sum(when($"terminal", 1L).otherwise(0L)).as("d"),
-            sum(when($"success", 1L).otherwise(0L)).as("s"),
-            sum(when($"terminal" && !$"success", 1L).otherwise(0L)).as("x"),
-            sum($"cost").as("c"))
-          .collect().iterator.flatMap { r =>
-            val j = r.getString(0)
-            Seq(j + "\u001ffetched" -> r.getLong(1), j + "\u001fdone" -> r.getLong(2),
-              j + "\u001fsucc" -> r.getLong(3), j + "\u001ffail" -> r.getLong(4),
-              j + "\u001fcost" -> r.getLong(5))
-          }.toMap
-      }
-    }
+    var stats: Map[String, Long] = null
+    var statJobs: Set[String] = null
+    var actualBatch: Long = -1L
+    var lineageOut: Map[String, Long] = null
     def stat(j: String, k: String): Long = stats.getOrElse(j + "\u001f" + k, 0L)
-    val statJobs = stats.keysIterator.map(_.takeWhile(_ != '\u001f')).toSet
-    statJobs.foreach { j =>
-      val p = progress(j)
-      progress += j -> p.copy(
-        done = p.done + stat(j, "done"),
-        succeeded = p.succeeded + stat(j, "succ"),
-        failed = p.failed + stat(j, "fail"),
-        creditsUsed = p.creditsUsed + stat(j, "cost"))
-      seqOffsets += j -> (seqOffsets(j) + stat(j, "fetched"))
+    def settleResults(): Unit = {
+      val tAcct = System.nanoTime()
+      val resultFileRows = ckpt.committedFileRows(ckpt.resultsPath(gen), hconf)
+      val committedRows = resultFileRows.map(_._2).sum
+      stats = {
+        val acc = statAcc.value
+        val accFetched = acc.iterator.collect { case (k, v) if k.endsWith("\u001ffetched") => v }.sum
+        if (accFetched == committedRows) acc
+        else {
+          System.err.println(s"[crawl] gen=$gen results accumulator total $accFetched != " +
+            s"committed $committedRows (task re-execution); recomputing from committed parquet")
+          spark.read.parquet(ckpt.resultsPath(gen))
+            .groupBy($"jobId")
+            .agg(count(lit(1)).as("f"),
+              sum(when($"terminal", 1L).otherwise(0L)).as("d"),
+              sum(when($"success", 1L).otherwise(0L)).as("s"),
+              sum(when($"terminal" && !$"success", 1L).otherwise(0L)).as("x"),
+              sum($"cost").as("c"))
+            .collect().iterator.flatMap { r =>
+              val j = r.getString(0)
+              Seq(j + "\u001ffetched" -> r.getLong(1), j + "\u001fdone" -> r.getLong(2),
+                j + "\u001fsucc" -> r.getLong(3), j + "\u001ffail" -> r.getLong(4),
+                j + "\u001fcost" -> r.getLong(5))
+            }.toMap
+        }
+      }
+      statJobs = stats.keysIterator.map(_.takeWhile(_ != '\u001f')).toSet
+      statJobs.foreach { j =>
+        val p = progress(j)
+        progress += j -> p.copy(
+          done = p.done + stat(j, "done"),
+          succeeded = p.succeeded + stat(j, "succ"),
+          failed = p.failed + stat(j, "fail"),
+          creditsUsed = p.creditsUsed + stat(j, "cost"))
+        seqOffsets += j -> (seqOffsets(j) + stat(j, "fetched"))
+      }
+      // Deferred batch count (small-step path): the committed results rows
+      // ARE the batch — an empty write means nothing was schedulable, the
+      // same exit condition as the old pre-fetch zero check. Lineage likewise
+      // comes from the committed files (exactly-once by construction).
+      actualBatch = if (batchCount >= 0L) batchCount else committedRows
+      lineageOut =
+        if (batchCount >= 0L) lineage
+        else resultFileRows.map { case (f, n) => f -> n }.toMap
+      if (timing) System.err.println(f"[timing] gen=$gen acct ${(System.nanoTime() - tAcct) / 1e9}%.2f s")
     }
-
-    // Deferred batch count (small-step path): the committed results rows ARE
-    // the batch — an empty write means nothing was schedulable, same exit as
-    // the old pre-fetch zero check, one generation later but one job cheaper
-    // on every non-empty generation. Lineage likewise comes from the
-    // committed files (exactly-once by construction).
-    val actualBatch = if (batchCount >= 0L) batchCount else committedRows
-    val lineageOut =
-      if (batchCount >= 0L) lineage
-      else resultFileRows.map { case (f, n) => f -> n }.toMap
-    if (actualBatch == 0L) { extracted.unpersist(false); return false }
+    // Sequential path settles (and can exit empty) before expansion, exactly
+    // as before; the overlapped path settles after the frontier write joins.
+    if (resultsFut.isEmpty) {
+      settleResults()
+      if (actualBatch == 0L) { extracted.unpersist(false); return false }
+    }
 
     val tExp = System.nanoTime()
-    if (timing) System.err.println(f"[timing] gen=$gen acct ${(tExp - tAcct) / 1e9}%.2f s")
     // ------------------------------------------------- link expansion P2-P5
     val enqueuedSoFar = progress.map { case (j, p) => j -> p.enqueued }
     val enqB = spark.sparkContext.broadcast(enqueuedSoFar)
@@ -884,8 +921,21 @@ final class CrawlEngine(
     val frontierOut =
       if (lastPendTotal < settings.fastExpandMaxPend) nextFrontier.coalesce(4) else nextFrontier
     phase(gen, "frontier-write") { frontierOut.write.mode("overwrite").parquet(ckpt.frontierPath(gen + 1)) }
+    // Overlapped path: join the concurrent results write, then settle the
+    // accounting (progress/seqOffsets/finalize inputs) before anything below
+    // consumes it. An empty batch exits here — one generation later than the
+    // sequential path's pre-expansion exit, but the expansion it ran was
+    // empty and the manifest is not committed, so resume/trace see the
+    // identical crawl.
+    resultsFut.foreach { f =>
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      seqedCache.unpersist(false)
+      settleResults()
+    }
     val tPost = System.nanoTime()
     extracted.unpersist(false)
+    if (actualBatch == 0L) return false
     // Same footer reconciliation as the results barrier: the pending /
     // fresh / hash counters rode the frontier write; a re-executed task
     // inflates them (duplicate bloom hashes are harmless — insertion is an
@@ -979,6 +1029,14 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
+  /** One daemon thread for the overlapped small-step results write. A single
+    * thread (not a pool): at most one superstep runs per engine, and engines
+    * in one JVM share it safely — the submit/get pair brackets each use. */
+  private[engine] lazy val resultsWritePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-results-write"); t.setDaemon(true); t
+    })
+
   final case class Settings(
       pagesUrlColumn: String = "url",
       pagesHtmlColumn: String = "html",
