@@ -69,7 +69,11 @@ object SparkEntry {
     eng.run(Seq(CrawlConfig(
       jobId = "flagship", seeds = Seq(graft.fixtures.SiteGen.pageUrl(0, 0)),
       strategy = "all", maxDepth = 12, limit = limit,
-      hostBudgetPerStep = 64, respectRobots = true)))
+      // politeness epoch = 64/host/wave; 8 waves batched per committed
+      // superstep (commit cadence decoupled from politeness cadence —
+      // CrawlConfig.politenessWaves). Trace equality at waves>1 is oracled
+      // in CrawlEngineSpec alongside the waves=1 canonical fixture.
+      hostBudgetPerStep = 64, politenessWaves = 8, respectRobots = true)))
     eng.trace()
   }
 

@@ -94,6 +94,8 @@ final class CrawlEngine(
   private lazy val robotsB = spark.sparkContext.broadcast(robotsRules)
   private lazy val budgetB =
     spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.hostBudgetPerStep.toLong })
+  private lazy val wavesB =
+    spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.politenessWaves.toLong })
 
   /** Frontier parquet schema, pinned on every read: saves the per-generation
     * footer-sniffing schema inference (a driver-side file read per source). */
@@ -389,25 +391,39 @@ final class CrawlEngine(
     val (seqedBase, seqedCache, batchCount, lineage) =
       if (smallStep) {
         val bb = budgetB
+        val wb = wavesB
         val remB = spark.sparkContext.broadcast(remaining)
         val scheduled = pend.coalesce(1).mapPartitions { it =>
-          val budgets = bb.value; val rem = remB.value; val off = offB.value
+          val budgets = bb.value; val waves = wb.value; val rem = remB.value; val off = offB.value
           it.toArray.groupBy(_.jobId).iterator.flatMap { case (j, rs) =>
             val budget = budgets(j)
             val room = rem(j)
+            // politeness: wave w = canonical rank within host / budget, kept
+            // while w < politenessWaves; then the per-job remaining-limit cut
+            // is a prefix in WAVE-MAJOR canonical order (seq follows it). At
+            // waves=1 this is the classic single budget walk.
+            val cap =
+              if (budget >= Int.MaxValue.toLong) Long.MaxValue
+              else budget * waves(j)
             val sorted = rs.sortBy(e => (e.depth, e.priority, e.urlNorm))
             val hostN = scala.collection.mutable.HashMap[String, Long]()
+            val staged = scala.collection.mutable.ArrayBuffer[(Long, FrontierEntry)]()
+            sorted.foreach { e =>
+              val c = hostN.getOrElse(e.host, 0L)
+              if (c < cap) {
+                hostN(e.host) = c + 1
+                staged += (((if (budget >= Int.MaxValue.toLong) 0L else c / budget), e))
+              }
+            }
+            val waveSorted =
+              staged.sortBy { case (w, e) => (w, e.depth, e.priority, e.urlNorm) }
             var taken = 0L
             val out = Seq.newBuilder[CrawlEngine.SeqEntry]
-            sorted.foreach { e =>
+            waveSorted.foreach { case (_, e) =>
               if (taken < room) {
-                val c = hostN.getOrElse(e.host, 0L)
-                if (c < budget) {
-                  hostN(e.host) = c + 1
-                  out += CrawlEngine.SeqEntry(e.jobId, e.url, e.urlNorm, e.host, e.depth,
-                    e.priority, e.parentUrl, e.attempt, off(j) + taken)
-                  taken += 1
-                }
+                out += CrawlEngine.SeqEntry(e.jobId, e.url, e.urlNorm, e.host, e.depth,
+                  e.priority, e.parentUrl, e.attempt, off(j) + taken)
+                taken += 1
               }
             }
             out.result()
@@ -415,32 +431,47 @@ final class CrawlEngine(
         }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (scheduled, scheduled, -1L, Map.empty[String, Long])
       } else {
+        // Wave-major scheduling (politenessWaves): politeness keeps the top
+        // waves*budget per (job, host) with wave = canonical-rank/budget; the
+        // limit cut and the seq sort then order by (wave, canonical). At
+        // waves=1, __wave is constant 0 and this is the round-2 plan exactly.
         val polite =
-          if (!needPoliteness) pend.toDF()
+          if (!needPoliteness) pend.toDF().withColumn("__wave", lit(0L))
           else {
             val bb = budgetB
+            val wb = wavesB
             val budgetCol = udf((j: String) => bb.value(j): Long).apply($"jobId")
+            val capCol = udf { (j: String) =>
+              val b = bb.value(j)
+              if (b >= Int.MaxValue.toLong) Long.MaxValue else b * wb.value(j)
+            }.apply($"jobId")
             val w2 = Window.partitionBy($"jobId", $"host").orderBy(ordCols: _*)
             val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
             val w1 = Window.partitionBy($"jobId", $"host", salt).orderBy(ordCols: _*)
             pend.toDF()
-              .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= budgetCol).drop("__r1")
-              .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= budgetCol).drop("__r2")
+              .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= capCol).drop("__r1")
+              .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= capCol)
+              .withColumn("__b", budgetCol)
+              .withColumn("__wave",
+                when($"__b" >= Int.MaxValue.toLong, 0L)
+                  .otherwise(expr("(CAST(__r2 AS BIGINT) - 1L) div __b")))
+              .drop("__r2", "__b")
           }
+        val waveOrd = col("__wave") +: ordCols
         val batchDf =
           if (!needLimit) polite
           else {
             val remCol = jobLookup(remaining)($"jobId")
-            val w2 = Window.partitionBy($"jobId").orderBy(ordCols: _*)
+            val w2 = Window.partitionBy($"jobId").orderBy(waveOrd: _*)
             val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-            val w1 = Window.partitionBy($"jobId", salt).orderBy(ordCols: _*)
+            val w1 = Window.partitionBy($"jobId", salt).orderBy(waveOrd: _*)
             polite
               .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= remCol).drop("__r1")
               .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= remCol).drop("__r2")
           }
-        val sortedBase = batchDf.as[FrontierEntry]
-          .orderBy($"jobId" :: ordCols.toList: _*)
-          .as[FrontierEntry].rdd
+        val sortedBase = batchDf
+          .orderBy(col("jobId") +: waveOrd: _*)
+          .drop("__wave").as[FrontierEntry].rdd
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val partStats: Array[(Int, Long, Map[String, Long])] = phase(gen, "seq-assign") {
           sortedBase.mapPartitionsWithIndex { case (pi, it) =>

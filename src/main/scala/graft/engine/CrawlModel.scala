@@ -53,7 +53,18 @@ final case class CrawlConfig(
     limit: Int = 100,                           // CrawlSchema default (max 50000)
     includePaths: Seq[String] = Nil,
     excludePaths: Seq[String] = Nil,
-    hostBudgetPerStep: Int = Int.MaxValue,      // politeness: fetches/host/superstep
+    hostBudgetPerStep: Int = Int.MaxValue,      // politeness: fetches/host/wave
+    // Politeness waves batched per superstep (commit cadence decoupled from
+    // politeness epochs). A wave is one politeness epoch: at most
+    // hostBudgetPerStep fetches per host. A superstep schedules up to
+    // `politenessWaves` consecutive waves off the COMMITTED frontier — wave w
+    // takes the rows ranked [w*B, (w+1)*B) per (job, host) in canonical
+    // order, and seq numbering is wave-major. At 1 this is exactly the
+    // classic one-wave BSP step. Raising it amortizes the per-superstep
+    // fixed cost (2 writes + a manifest commit + ~6 driver job round-trips)
+    // across W epochs when the frontier is small/latency-bound — checkpoint
+    // granularity coarsens to W waves, politeness per epoch is unchanged.
+    politenessWaves: Int = 1,
     respectRobots: Boolean = false,
     userAgent: String = "graftbot",
     maxAttempts: Int = 3,                       // BullMQ budget (Queue.ts:83)

@@ -122,6 +122,41 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(perGenHost.values.forall(_ <= 2))
   }
 
+  test("politeness waves batched per superstep (politenessWaves > 1) match the oracle") {
+    val cfg = CrawlConfig("j6w", Seq("https://host0.example.test/p0.html"),
+      strategy = "all", limit = 50, hostBudgetPerStep = 3, politenessWaves = 4)
+    val (got, oracle, engine) = runBoth(cfg)
+    assertTraceEqual(got, oracle.trace)
+    // per generation: at most waves*budget per host
+    val perGenHost = engine.trace().collect()
+      .groupBy(r => (r.getAs[Int]("generation"), UrlOps.host(r.getAs[String]("url"))))
+      .view.mapValues(_.length)
+    assert(perGenHost.values.forall(_ <= 12))
+    // the point of waves: fewer commits than single-wave politeness
+    val gensBatched = engine.trace().collect().map(_.getAs[Int]("generation")).max
+    val (_, _, engine1) = runBoth(cfg.copy(jobId = "j6w1", politenessWaves = 1))
+    val gens1 = engine1.trace().collect().map(_.getAs[Int]("generation")).max
+    assert(gensBatched < gens1)
+    // seen set + progress also equal
+    val engineSeen = engine.seenSet().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(engineSeen == oracle.seen)
+    val p = engine.finalProgress("j6w"); val op = oracle.progress("j6w")
+    assert((p.enqueued, p.done, p.succeeded, p.failed) ==
+      ((op.enqueued, op.done, op.succeeded, op.failed)))
+  }
+
+  test("politeness waves with limit binding mid-wave match the oracle") {
+    // limit cuts inside wave 2 of a 4-wave superstep: the wave-major prefix
+    // must stop exactly where the oracle's does
+    val cfg = CrawlConfig("j6x", Seq("https://host0.example.test/p0.html"),
+      strategy = "all", limit = 11, hostBudgetPerStep = 2, politenessWaves = 4)
+    val (got, oracle, engine) = runBoth(cfg)
+    assert(got.size == 11)
+    assertTraceEqual(got, oracle.trace)
+    assert(engine.finalProgress("j6x").finalizeReason == "limit-reached")
+  }
+
   test("robots.txt filtering as broadcast dimension (north rule)") {
     val robots = SiteGen.robotsRows(nHosts).toMap
     val cfg = CrawlConfig("j7", Seq("https://host0.example.test/p0.html"),

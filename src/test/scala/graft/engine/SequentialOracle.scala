@@ -53,20 +53,36 @@ object SequentialOracle {
       val active = cfgs.values.filter(c => !progress(c.jobId).finalized).map(_.jobId).toSet
       pending = pending.filter(e => active.contains(e.jobId))
 
-      // schedule: canonical sort, per-host budget, per-job remaining
+      // schedule (wave-major, politenessWaves): politeness keeps rows with
+      // canonical rank within (job, host) below waves*budget, wave =
+      // rank/budget; the per-job remaining-limit cut is then a prefix in
+      // (wave, canonical) order. At politenessWaves=1 this reduces exactly to
+      // the classic single budget walk (rank<budget survivors, canonical
+      // prefix of size remaining).
       val sorted = pending.sortBy(e => (e.jobId, e.depth, e.priority, e.urlNorm))
-      val hostCount = mutable.Map[(String, String), Int]().withDefaultValue(0)
-      val jobCount = mutable.Map[String, Long]().withDefaultValue(0L)
-      val batch = mutable.ArrayBuffer[FrontierEntry]()
+      val hostCount = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      val staged = mutable.ArrayBuffer[(Long, FrontierEntry)]()
       sorted.foreach { e =>
         val c = cfgs(e.jobId)
-        val remaining = if (c.limit > 0) c.limit.toLong - progress(e.jobId).done else Long.MaxValue
-        if (hostCount((e.jobId, e.host)) < c.hostBudgetPerStep && jobCount(e.jobId) < remaining) {
-          batch += e
-          hostCount((e.jobId, e.host)) += 1
-          jobCount(e.jobId) += 1
+        val b = c.hostBudgetPerStep.toLong
+        val cap = if (b >= Int.MaxValue.toLong) Long.MaxValue else b * c.politenessWaves
+        val k = hostCount((e.jobId, e.host))
+        if (k < cap) {
+          hostCount((e.jobId, e.host)) = k + 1
+          staged += (((if (b >= Int.MaxValue.toLong) 0L else k / b), e))
         }
       }
+      val jobCount = mutable.Map[String, Long]().withDefaultValue(0L)
+      val batch = mutable.ArrayBuffer[FrontierEntry]()
+      staged.sortBy { case (w, e) => (e.jobId, w, e.depth, e.priority, e.urlNorm) }
+        .foreach { case (_, e) =>
+          val c = cfgs(e.jobId)
+          val remaining = if (c.limit > 0) c.limit.toLong - progress(e.jobId).done else Long.MaxValue
+          if (jobCount(e.jobId) < remaining) {
+            batch += e
+            jobCount(e.jobId) += 1
+          }
+        }
       if (batch.isEmpty) {
         progress = progress.map { case (j, p) =>
           (j, if (p.finalized) p else p.copy(finalized = true, finalizeReason = "stalled"))
@@ -75,10 +91,11 @@ object SequentialOracle {
         pending = pending.filterNot(e => batch.exists(b => b.jobId == e.jobId && b.urlNorm == e.urlNorm))
         val enqueuedAtStart = progress.map { case (j, p) => j -> p.enqueued }
 
-        // fetch + extract in canonical order; gather candidates
+        // fetch + extract in wave-major canonical order (the batch is already
+        // sorted that way; seq follows it); gather candidates
         val candidates = mutable.ArrayBuffer[FrontierEntry]()
         val retries = mutable.ArrayBuffer[FrontierEntry]()
-        batch.sortBy(e => (e.jobId, e.depth, e.priority, e.urlNorm)).foreach { e =>
+        batch.foreach { e =>
           val c = cfgs(e.jobId)
           val seq = seqCounter(e.jobId); seqCounter(e.jobId) = seq + 1
           pagesByNorm.get(e.urlNorm) match {
