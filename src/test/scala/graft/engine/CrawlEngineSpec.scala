@@ -225,6 +225,24 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert((pf.enqueued, pf.done, pf.succeeded, pf.failed) == ((pr.enqueued, pr.done, pr.succeeded, pr.failed)))
   }
 
+  test("resume across a wave-batched superstep boundary (politenessWaves > 1)") {
+    // checkpoint granularity under waves is the W-wave superstep; a kill
+    // between commits must replay to the identical trace and oracle
+    val cfg = CrawlConfig("j10w", Seq("https://host0.example.test/p0.html"),
+      strategy = "all", limit = 45, hostBudgetPerStep = 3, politenessWaves = 3)
+    val dirFull = tmpDir("j10wfull")
+    val full = new CrawlEngine(spark, pagesDf, dirFull, Map.empty, settings)
+    full.run(Seq(cfg))
+    val dirCut = tmpDir("j10wcut")
+    val cut = new CrawlEngine(spark, pagesDf, dirCut, Map.empty, settings.copy(maxGenerations = 2))
+    cut.run(Seq(cfg))
+    val resumed = new CrawlEngine(spark, pagesDf, dirCut, Map.empty, settings)
+    resumed.resume(Seq(cfg))
+    assertTraceEqual(engineTrace(resumed), engineTrace(full))
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg))
+    assertTraceEqual(engineTrace(resumed), oracle.trace)
+  }
+
   test("results carry metadata/timestamp/rawHtml/cost; credits accounted (A4)") {
     val cfg = CrawlConfig("jmeta", Seq("https://host0.example.test/p0.html"), limit = 15,
       formats = graft.core.Extractor.Formats(rawHtml = true))
