@@ -248,41 +248,57 @@ object SparkEntry {
       df.orderBy(col("score").desc, col("vec_id").asc).limit(20)
     }),
 
-    // rows-only: the banded minhash signature is a chain of xxhash64 values
-    // DuckDB cannot recompute; ground truth = PipelineSpec "minhash LSH finds
-    // near-dups, not unrelated docs" (planted-pair comparison)
+    // by-construction oracle (DedupGen.minhashText): kept groups plant
+    // identical pair texts — identical signatures, so every band matches
+    // (recall exactly 1) and est_jaccard is exactly 1.0; all other docs are
+    // shingle-disjoint. The REAL banded xxhash LSH kernel runs; DuckDB
+    // regenerates the expected pair set from doc_id arithmetic. Partial-
+    // overlap estimate behavior stays covered by PipelineSpec ground truth.
     "q18_minhash_lsh_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      val s2 = s
+      import s2.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(i => (i, graft.fixtures.DedupGen.minhashText(i)))
+        .toDF("doc_id", "text")
+      Dedup.minhashLshPairs(docs, "text", "doc_id",
           numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // rows-only: simhash64 is an xxhash-weighted bit-vote DuckDB cannot
-    // recompute; ground truth = PipelineSpec "simhash pigeonhole banding
-    // finds all pairs within hamming distance" (vs brute-force truth)
+    // by-construction oracle (DedupGen.simhashText): identical planted pair
+    // texts give hamming 0; everything else is a ~uniform 64-bit fingerprint
+    // (P[dist<=3] ~ 2.4e-15/pair). The REAL pigeonhole banding + bit_count
+    // verify runs; DuckDB regenerates the pair set from doc_id arithmetic.
+    // Distance behavior at 1..maxDist stays covered by PipelineSpec's
+    // brute-force ground truth.
     "q19_simhash_pairs" -> ((s, dir) => {
       val s2 = s
       import s2.implicits._
-      val withSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, Dedup.simhash64(text)) }
+      val withSh = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { i => (i, Dedup.simhash64(graft.fixtures.DedupGen.simhashText(i))) }
         .toDF("doc_id", "simhash")
       Dedup.simhashPairs(withSh, "simhash", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // rows-only: candidate generation rides the q18 xxhash LSH (same DuckDB
-    // limitation); the Jaccard verify itself is checked in PipelineSpec
-    // "ngram jaccard verifies candidate pairs exactly"
+    // by-construction oracle (DedupGen.jaccardText): candidate pairs come
+    // from doc_id arithmetic (LSH candidacy is q18's job; this query proves
+    // the exact-Jaccard VERIFY kernel), and each pair's shingle-set overlap
+    // is closed-form — tier g%5 shares a p = 50-6*tier token prefix, so
+    // exact Jaccard = (p-2)/(98-p): 1.0, 42/54, 36/60, 30/66, 24/72.
     "q20_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashLshPairs(docs, "text", "doc_id",
-        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.3)
-        .select(col("id_a"), col("id_b"))
+      val s2 = s
+      import s2.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(i => (i, graft.fixtures.DedupGen.jaccardText(i)))
+        .toDF("doc_id", "text")
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -299,13 +315,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // rows-only: hyperplane bucket ids come from xxhash-seeded planes DuckDB
-    // cannot recompute; ground truth = PipelineSpec "brute-force topK cosine
-    // and LSH recall" (recall asserted against the q17-style exact scan)
+    // by-construction oracle (DedupGen.plantedNeighbors): 20 planted vectors
+    // with exact cosine 0.999-0.001*j to the query sit within ~11.5° of it,
+    // so their hyperplane signatures stay inside the probe radius (expected
+    // flips <= 0.77 of the allowed 4; verified on the fixed seed) while the
+    // natural corpus tops out at cosine ~0.40 — the REAL bucket-probed scan
+    // returns exactly the planted set, which DuckDB regenerates closed-form.
+    // Recall vs the exact scan on natural data stays covered by PipelineSpec.
     "q22_ann_lsh" -> ((s, dir) => {
-      Similarity.lshTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+      val s2 = s
+      import s2.implicits._
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = graft.fixtures.DedupGen.plantedNeighbors(annQuery, 20)
+        .toDF("vec_id", "embedding")
+      Similarity.lshTopK(base.unionByName(planted), "embedding", "vec_id",
           annQuery, k = 20, planes = 12, probeRadius = 4)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
     }),
 
     "q23_serp_parse" -> ((s, dir) => {
@@ -835,6 +861,45 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // closed-form regeneration of the planted minhash pair set (see the q18
+    // query comment): kept groups g%3<>0 plant identical texts -> est 1.0
+    "q18_minhash_lsh_pairs" ->
+      """SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 AND (a.doc_id // 2) % 3 <> 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted simhash pairs (q19 query comment): kept groups g%4<>1 are
+    // identical texts -> hamming 0
+    "q19_simhash_pairs" ->
+      """SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 AND (a.doc_id // 2) % 4 <> 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // tiered shared-prefix pairs (q20 query comment): exact Jaccard is
+    // (p-2)/(98-p) for prefix p = 50 - 6*(g%5)
+    "q20_ngram_jaccard" ->
+      """SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+        |  round(CASE ((a.doc_id // 2) % 5)
+        |    WHEN 0 THEN CAST(48 AS DOUBLE) / 48
+        |    WHEN 1 THEN CAST(42 AS DOUBLE) / 54
+        |    WHEN 2 THEN CAST(36 AS DOUBLE) / 60
+        |    WHEN 3 THEN CAST(30 AS DOUBLE) / 66
+        |    ELSE CAST(24 AS DOUBLE) / 72 END, 4) AS jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted ANN neighbors (q22 query comment): top-20 is exactly the
+    // planted set with closed-form cosines 0.999 - 0.001*j
+    "q22_ann_lsh" ->
+      """SELECT CAST(200000 + i AS BIGINT) AS vec_id,
+        |  round(CAST(0.999 AS DOUBLE) - CAST(0.001 AS DOUBLE) * i, 4) AS score
+        |FROM range(20) t(i)
+        |ORDER BY score DESC, vec_id""".stripMargin,
 
     // closed-form regeneration of the SERP fixture's expected rows: kept
     // blocks are k in 0..7 minus the desc-less k=4; position advances only
