@@ -354,9 +354,11 @@ object SparkEntry {
         .orderBy(col("query"), col("page"), col("position"), col("url"))
     }),
 
-    // rows-only: the BSP trace is a whole-engine fixpoint no single SQL query
-    // expresses; ground truth = CrawlEngineSpec's SequentialOracle trace
-    // equality (+ the committed canonical trace fixture) at every config
+    // oracled by construction (q24OracleSql): at sf0.01 the politeness budget
+    // never defers, so the whole BSP fixpoint is a depth-unrolled BFS over
+    // the closed-form SiteGen graph that DuckDB recomputes independently;
+    // ScalaTest additionally pins trace equality vs SequentialOracle (+ the
+    // committed canonical fixture) at configs where politeness DOES defer
     "q24_crawl_bsp" -> ((s, dir) => {
       val pages = math.max(200, (sfOf(dir) * 20000).toInt)
       crawlTrace(s, pages, 8, limit = pages / 2)
@@ -655,8 +657,104 @@ object SparkEntry {
   private val stopwordsSqlList: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /**
+   * By-construction DuckDB oracle for q24: the whole BSP crawl fixpoint,
+   * re-derived in SQL as a depth-unrolled BFS over the closed-form SiteGen
+   * link graph. Validity argument (each step checkable against the engine):
+   *
+   *  - At sf0.01 the corpus is 200 pages / 8 hosts (`hostSizes(200, 8)`,
+   *    embedded below as a VALUES list built from the same function), and
+   *    every per-host BFS level is < 64 rows (binary trees; widest host0
+   *    level is 29), so the 64/host/wave politeness budget NEVER defers:
+   *    every superstep schedules its whole pending set, generation == depth,
+   *    and wave-major order degenerates to canonical (depth, priority,
+   *    urlNorm) order.
+   *  - Edges are SiteGen.outHrefs + the header nav link, in document order
+   *    after LinkExtractor's per-page LinkedHashSet dedup: nav '/p0.html'
+   *    (idx 0), children 2j+1 / 2j+2 (if < host size), parent backlink
+   *    (j-1)/2 — which collides with nav for j in {1,2}, hence the j >= 3
+   *    guard — and a cross-host edge to p0 of host (h + j/3) % 8 for
+   *    j % 3 == 0, skipped when it self-targets. All href variants resolve
+   *    to the same absolute URL, which normalize() maps to itself.
+   *  - robots (respectRobots=true, SiteGen.robotsRows): host1 disallows
+   *    /p1.html and the /p3* prefix (p3, p30-p39); candidates are pruned at
+   *    expansion, seeds (host0) unaffected.
+   *  - Per-generation: candidates = links of the level's pages, priority =
+   *    min over discovering parents of (parentSeq*4096 + idx) (in-batch
+   *    canonical-min dedup — priority is unique per candidate so min() is
+   *    the whole tiebreak), minus already-enqueued URLs (seen anti-join),
+   *    then the enqueue cap keeps the canonical-order prefix up to
+   *    limit=100 total, and seq continues from the cumulative count.
+   *  - All fetches hit (every link targets an existing page), so the trace
+   *    is exactly the enqueued set: attempt 0, status 200, terminal.
+   *
+   * MATERIALIZED pins each level CTE to evaluate once (the seen_d chain
+   * references each level twice; inlining would expand 2^12 times). The
+   * engine side of this equality is additionally pinned by CrawlEngineSpec's
+   * SequentialOracle trace equality and the committed canonical fixture.
+   */
+  private def q24OracleSql: String = {
+    val limit = 100
+    val maxDepth = 12
+    val sizes = graft.fixtures.SiteGen.hostSizes(200, 8)
+    val sizeValues = sizes.zipWithIndex.map { case (n, h) => s"($h,$n)" }.mkString(",")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pages AS (
+         |  SELECT s.h AS h, CAST(t.j AS BIGINT) AS j, s.n AS n
+         |  FROM (VALUES $sizeValues) s(h,n),
+         |       LATERAL (SELECT unnest(range(s.n)) AS j) t
+         |),
+         |e0 AS (
+         |  SELECT h, j, dh, dj, CAST(row_number() OVER (PARTITION BY h, j ORDER BY ord) - 1 AS BIGINT) AS idx
+         |  FROM (
+         |    SELECT h, j, h AS dh, CAST(0 AS BIGINT) AS dj, 0 AS ord FROM pages
+         |    UNION ALL SELECT h, j, h, 2*j+1, 1 FROM pages WHERE 2*j+1 < n
+         |    UNION ALL SELECT h, j, h, 2*j+2, 2 FROM pages WHERE 2*j+2 < n
+         |    UNION ALL SELECT h, j, h, (j-1)//2, 3 FROM pages WHERE j >= 3
+         |    UNION ALL SELECT h, j, (h + j//3) % ${sizes.length}, 0, 4 FROM pages
+         |      WHERE j % 3 = 0 AND j > 0 AND (h + j//3) % ${sizes.length} <> h
+         |  )
+         |),
+         |edges AS MATERIALIZED (
+         |  SELECT * FROM e0 WHERE NOT (dh = 1 AND (dj IN (1, 3) OR dj BETWEEN 30 AND 39))
+         |),
+         |lvl0 AS (SELECT 0 AS h, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS seq, 0 AS depth),
+         |seen0 AS MATERIALIZED (SELECT * FROM lvl0)""".stripMargin)
+    (1 to maxDepth).foreach { d =>
+      val p = d - 1
+      sb.append(
+        s""",
+           |lvl$d AS MATERIALIZED (
+           |  SELECT h, j, (SELECT max(seq) FROM seen$p) + rn AS seq, $d AS depth
+           |  FROM (
+           |    SELECT h, j, row_number() OVER (ORDER BY prio) AS rn
+           |    FROM (
+           |      SELECT e.dh AS h, e.dj AS j, min(l.seq * 4096 + e.idx) AS prio
+           |      FROM lvl$p l JOIN edges e ON e.h = l.h AND e.j = l.j
+           |      WHERE NOT EXISTS (SELECT 1 FROM seen$p s WHERE s.h = e.dh AND s.j = e.dj)
+           |      GROUP BY e.dh, e.dj
+           |    )
+           |  )
+           |  WHERE (SELECT max(seq) FROM seen$p) + rn <= ${limit - 1}
+           |),
+           |seen$d AS MATERIALIZED (SELECT * FROM seen$p UNION ALL SELECT * FROM lvl$d)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT 'flagship' AS jobId, seq,
+         |  'https://host' || h || '.example.test/p' || j || '.html' AS url,
+         |  'https://host' || h || '.example.test/p' || j || '.html' AS urlNorm,
+         |  CAST(depth AS INTEGER) AS depth, CAST(0 AS INTEGER) AS attempt,
+         |  CAST(200 AS INTEGER) AS status, TRUE AS success, TRUE AS terminal,
+         |  CAST(depth AS INTEGER) AS generation
+         |FROM seen$maxDepth ORDER BY jobId, seq""".stripMargin)
+    sb.toString
+  }
+
   // --------------------------------------------------------------- oracles
   def oracleSql: Map[String, String] = Map(
+    "q24_crawl_bsp" -> q24OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
