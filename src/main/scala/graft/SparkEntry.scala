@@ -11,10 +11,14 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB-equivalent `oracleSql` where the
- * semantics are ANSI-SQL-expressible; rows-only entries otherwise (crawl BSP,
- * LSH/minhash sketches, SERP parsing, multimodal plumbing — their correctness
- * lives in the ScalaTest suites against sequential oracles and goldens).
+ * operator family, each with a DuckDB `oracleSql` — ALL 36 queries are
+ * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
+ * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
+ * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
+ * and DuckDB recomputes it independently (q24's oracle re-derives the whole
+ * crawl as a depth-unrolled SQL BFS); ScalaTest suites additionally pin the
+ * kernels against sequential oracles, brute-force ground truths and goldens
+ * at configs the SQL forms don't reach.
  *
  * Every oracled query ends in a deterministic ORDER BY mirrored in the SQL,
  * aggregates avoid order-dependent float accumulation (integral-valued
