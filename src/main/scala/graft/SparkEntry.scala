@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 36 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 37 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -334,6 +334,19 @@ object SparkEntry {
         .toDF("vec_id", "embedding")
       Similarity.lshTopK(base.unionByName(planted), "embedding", "vec_id",
           annQuery, k = 20, planes = 12, probeRadius = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // IVF-Flat ANN (the second scale path next to q22's LSH): centroids =
+    // every 50th vec_id (a rule DuckDB replays), assignment = codegen'd
+    // argmax-over-literal-centroids, probe = 4 nearest lists. The oracle is
+    // EXACT (not by-construction): DuckDB recomputes assignment + probes +
+    // scores with list_cosine_similarity over the same parquet.
+    "q37_ann_ivf" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(base, "embedding", "vec_id", annQuery,
+          k = 20, centEvery = 50, nprobe = 4)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
@@ -1002,6 +1015,39 @@ object SparkEntry {
         |  round(CAST(0.999 AS DOUBLE) - CAST(0.001 AS DOUBLE) * i, 4) AS score
         |FROM range(20) t(i)
         |ORDER BY score DESC, vec_id""".stripMargin,
+
+    // exact IVF recomputation: same centroid rule (vec_id % 50 = 0), same
+    // argmax assignment (sim desc, cid asc), same 4 probe lists, same
+    // cosine — no by-construction shortcut
+    "q37_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |), probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, ROW_NUMBER() OVER (
+         |      ORDER BY list_cosine_similarity(cvec, $annQuerySqlList) DESC,
+         |               cid ASC) AS rn
+         |    FROM cent) WHERE rn <= 4
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(
+         |        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+         |        c.cvec) DESC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+         |)
+         |SELECT e.vec_id,
+         |  round(list_cosine_similarity(
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+         |    $annQuerySqlList), 4) AS score
+         |FROM embeddings e
+         |JOIN assign a ON e.vec_id = a.vec_id
+         |JOIN probes p ON a.cid = p.cid
+         |ORDER BY score DESC, e.vec_id ASC
+         |LIMIT 20""".stripMargin,
 
     // closed-form regeneration of the SERP fixture's expected rows: kept
     // blocks are k in 0..7 minus the desc-less k=4; position advances only

@@ -59,6 +59,56 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: a bounded centroid table — every
+    * `centEvery`-th vector by id, a deterministic rule DuckDB can replay —
+    * partitions the corpus into Voronoi lists; a query scores only the
+    * `nprobe` lists whose centroids are nearest to it (the Faiss IVF-Flat
+    * layout). The centroid set is collected once (K = |corpus|/centEvery is
+    * bounded by construction) and inlined as literal arrays, so list
+    * assignment is a single codegen'd `greatest(struct(sim, -cid))`
+    * expression — no join, no shuffle; the only exchange is the final
+    * top-k reduce (TakeOrderedAndProject). At 100 TB the assignment column
+    * is precomputed at ingest and the corpus is partitioned by list id, so
+    * a query becomes `nprobe` partition-pruned scans while the centroid
+    * table (a few MB even at 2^20 lists) stays a broadcast dimension. */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, centEvery: Long = 50, nprobe: Int = 4): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = df
+      .filter(col(idCol) % centEvery === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids: no $idCol divisible by $centEvery")
+    // driver-side probe selection over the bounded centroid set:
+    // top nprobe by (cosine desc, cid asc)
+    def cosLocal(a: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val q = if (i < query.length) query(i) else 0.0
+        dot += a(i) * q; na += a(i) * a(i); nb += q * q; i += 1
+      }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val probeCids: Seq[Long] = cents
+      .map { case (cid, cv) => (cid, cosLocal(cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nprobe).map(_._1).toSeq
+    // assignment: argmax over centroids with ties to the lowest cid —
+    // greatest() over (sim, -cid) structs, all inside whole-stage codegen
+    val simStructs = cents.map { case (cid, cv) =>
+      struct(cosineCol(col("__v"), array(cv.map(lit).toSeq: _*)).as("sim"),
+        lit(-cid).as("ncid"))
+    }.toSeq
+    val best = if (simStructs.sizeIs == 1) simStructs.head else greatest(simStructs: _*)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__cid", -best.getField("ncid"))
+      .filter(col("__cid").isin(probeCids: _*))
+      .select(col(idCol), cosineToQuery(col("__v"), query).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k: score only rows whose signature is within `probeRadius`
     * Hamming bits of the query signature. At 100 TB the signature column is
     * precomputed & partitioned-by, turning a query into a handful of

@@ -97,6 +97,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF topK: recall vs brute force, probe pruning, oracle-equivalent assignment") {
+    val n = 200
+    val dim = 16
+    val vecs = spark.range(n).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        ((graft.fixtures.SiteGen.mix(i, d.toLong) % 1000L) / 500.0 - 1.0).toFloat)
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val q = (0 until dim).map(d =>
+      (graft.fixtures.SiteGen.mix(999L, d.toLong) % 1000L) / 500.0 - 1.0)
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // centEvery=20 -> 10 lists; nprobe=4 scans <= ~40% of the corpus
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.length == 10)
+    assert(ivf.distinct.length == 10)
+    val recall = (exact intersect ivf.toSet).size.toDouble / 10
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // nprobe = all lists ==> IVF is exhaustive and must equal brute force
+    val full = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact, s"nprobe=K IVF must be exact: $full vs $exact")
+    // determinism across runs (argmax ties broken by lowest cid)
+    val again = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect()
+    assert(again.toSeq == ivf.toSeq)
+  }
+
   test("token counts (ws + bpe-ish) and fingerprint") {
     val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
     val out = df.select($"doc_id",
