@@ -4,14 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal, Decontaminate}
 import graft.core.UrlOps
 import graft.engine.{CrawlEngine, CrawlConfig}
 import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 37 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 38 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -199,6 +199,28 @@ object SparkEntry {
       Dedup.exactClusters(doubled, "text", "doc_id")
         .select(col("content_md5"), col("cluster_size"), col("keep_id"))
         .orderBy(col("content_md5"))
+    }),
+
+    // benchmark decontamination (13-gram overlap vs an eval set): planted
+    // by construction — every doc_id % 50 == 3 doc gets one 15-word bench
+    // sentence appended, so its distinct-shingle hit count is exactly
+    // 15-13+1 = 3 and everything else is 0 (bench tokens are synthetic and
+    // cannot occur in the corpus). The REAL kernel (shingle/hash/broadcast
+    // join) runs; DuckDB recomputes expected rows from doc_id arithmetic.
+    "q38_decontaminate" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val benchLits = array(benchSentences.map(lit): _*)
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 50 === 3,
+          concat(col("text"), lit(" "),
+            element_at(benchLits, (col("doc_id") % 5 + 1).cast("int"))))
+          .otherwise(col("text")))
+      val bench = benchSentences.toDF("text")
+      Decontaminate.flag(planted, "text", "doc_id", bench, "text",
+          n = 13, minHits = 2)
+        .orderBy(col("doc_id"))
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -664,6 +686,11 @@ object SparkEntry {
       "nil" -> JNull)
   }
 
+  /** Synthetic eval-set sentences for q38: 5 sentences x 15 unique tokens
+    * that cannot occur in the corpus, so 13-gram hits are closed-form. */
+  private val benchSentences: Seq[String] =
+    (0 until 5).map(k => (0 until 15).map(j => s"evaltok${k}x$j").mkString(" "))
+
   /** Deterministic ANN query vector (dim 64, values in [-0.9, 0.9]). */
   private val annQuery: Seq[Double] =
     (0 until 64).map(i => ((i * 37) % 19 - 9) / 10.0)
@@ -856,6 +883,14 @@ object SparkEntry {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY 1 HAVING count(*) > 1 ORDER BY content_md5""".stripMargin,
+
+    // closed-form: only the planted docs hit, and with exactly 15-13+1 = 3
+    // distinct 13-gram shingles of their appended bench sentence
+    "q38_decontaminate" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 50 = 3 THEN 3 ELSE 0 END AS BIGINT) AS hits,
+        |  doc_id % 50 = 3 AS contaminated
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q12_fingerprint" ->
       """SELECT doc_id,

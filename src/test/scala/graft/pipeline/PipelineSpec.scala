@@ -129,6 +129,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq == ivf.toSeq)
   }
 
+  test("decontamination: distinct 13-gram hits, threshold, boundary non-hits") {
+    val bench13 = (0 until 13).map(j => s"bt$j").mkString(" ")   // exactly 13 words -> 1 shingle
+    val bench15 = (0 until 15).map(j => s"ct$j").mkString(" ")   // 15 words -> 3 shingles
+    val bench = Seq(bench13, bench15, "short bench under thirteen words here").toDF("text")
+    val docs = Seq(
+      (1L, s"prefix words then $bench13 and a suffix"),            // 1 hit
+      (2L, s"$bench15 trailing"),                                  // 3 hits
+      (3L, (0 until 12).map(j => s"bt$j").mkString(" ") + " XX"),  // 12-of-13 prefix: 0 hits
+      (4L, s"$bench13 $bench13"),                                  // repeated shingle counts once
+      (5L, "no overlap at all in this document"),                  // 0 hits
+      (6L, "short bench under thirteen words here")                // bench row <13 words -> no shingles
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.flag(docs, "text", "doc_id", bench, "text", n = 13, minHits = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, false), (2L, 3L, true), (3L, 0L, false),
+      (4L, 1L, false), (5L, 0L, false), (6L, 0L, false)))
+  }
+
   test("token counts (ws + bpe-ish) and fingerprint") {
     val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
     val out = df.select($"doc_id",
