@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 38 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 40 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -221,6 +221,40 @@ object SparkEntry {
       Decontaminate.flag(planted, "text", "doc_id", bench, "text",
           n = 13, minHits = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher/MassiveText repetition rules. TRUE independent oracle: Spark
+    // computes the per-doc bigram mode with a sort+run-length aggregate()
+    // fold (no shuffle); DuckDB recomputes it the orthodox way (unnest +
+    // GROUP BY + max/sum) over the same planted text. Line duplication is
+    // planted (doc_id % 40 == 7 gets 2-4 identical appended lines) since
+    // the synthetic corpus has no newlines of its own.
+    "q39_gopher_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 40 === 7,
+          concat(col("text"), array_join(array_repeat(
+            lit("\ndup line marker row"),
+            (col("doc_id") % 3 + 2).cast("int")), "")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          round(TextAnalysis.dupLineFrac(col("text")), 4).as("dup_line_frac"),
+          round(TextAnalysis.topBigramFrac(col("text")), 4).as("top_bigram_frac"),
+          TextAnalysis.gopherKeep(col("text")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sampling (data mixing): membership = a pure
+    // function of doc_id, so the oracle replays it exactly. The production
+    // hash (xxhash64) is injectable; here a multiplicative spread DuckDB
+    // can recompute stands in — the selection kernel is identical.
+    "q40_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1,
+        "es" -> 0.75, "zh" -> 0.0)
+      val hashCol = pmod(col("doc_id") * 7919, lit(graft.pipeline.Sampling.Denominator))
+      graft.pipeline.Sampling.stratifiedSample(docs, "lang", rates, hashCol)
+        .orderBy("doc_id")
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -891,6 +925,62 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 50 = 3 THEN 3 ELSE 0 END AS BIGINT) AS hits,
         |  doc_id % 50 = 3 AS contaminated
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same planted text, recomputed the orthodox way (unnest + GROUP BY)
+    // vs Spark's shuffle-free sort+run-length fold; keep uses the unrounded
+    // fractions on both sides
+    "q39_gopher_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 40 = 7
+        |      THEN text || repeat(chr(10) || 'dup line marker row',
+        |                          CAST(doc_id % 3 + 2 AS INT))
+        |      ELSE text END AS t
+        |  FROM documents
+        |), lf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ls) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+        |                 / CAST(len(ls) AS DOUBLE)
+        |      ELSE 0.0 END AS dlf
+        |  FROM (SELECT doc_id,
+        |          list_filter(list_transform(string_split(t, chr(10)),
+        |                                     x -> trim(x)),
+        |                      x -> len(x) > 0) AS ls
+        |        FROM base)
+        |), wrds AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(t), '\s+'),
+        |                x -> len(x) > 0) AS ws
+        |  FROM base
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |                          i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |  FROM wrds
+        |), cnt AS (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        |), tb AS (
+        |  SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tbf
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT l.doc_id,
+        |  round(l.dlf, 4) AS dup_line_frac,
+        |  round(coalesce(t.tbf, 0.0), 4) AS top_bigram_frac,
+        |  (l.dlf <= 0.30 AND coalesce(t.tbf, 0.0) <= 0.20) AS keep
+        |FROM lf l LEFT JOIN tb t ON l.doc_id = t.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // exact replay of the selection rule: hash mod 10000 under the
+    // per-stratum threshold
+    "q40_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 7919) % 10000 <
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |            WHEN 'fr' THEN 1000 WHEN 'es' THEN 7500
+        |            WHEN 'zh' THEN 0 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q12_fingerprint" ->
       """SELECT doc_id,

@@ -159,4 +159,48 @@ object TextAnalysis {
     }
     f(text)
   }
+
+  // ---- Gopher/MassiveText repetition rules (Rae et al. 2021, table A1) ----
+  // Pure Column expressions: per-doc metrics never shuffle; at 100 TB this
+  // is one codegen'd projection over the scan, filtered before anything
+  // downstream sees the rejected rows.
+
+  /** Non-empty trimmed lines of a document. */
+  private def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line:
+    * 1 - distinct/total (0 for empty/one-line docs). */
+  def dupLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word 2-grams occupied by the single most frequent 2-gram.
+    * Mode-of-array without a shuffle: sort the per-doc bigram array, then a
+    * single aggregate() fold tracks the longest equal-run. */
+  def topBigramFrac(text: Column): Column = {
+    val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    val bigrams = transform(sequence(lit(1), size(words) - 1, lit(1)),
+      i => concat(element_at(words, i), lit(" "), element_at(words, i + 1)))
+    val sorted = sort_array(bigrams)
+    val best = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(words) >= 2, best.cast("double") / (size(words) - 1).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The Gopher keep decision at the published thresholds: duplicate-line
+    * fraction <= 0.30, top-2-gram fraction <= 0.20. */
+  def gopherKeep(text: Column): Column =
+    dupLineFrac(text) <= 0.30 && topBigramFrac(text) <= 0.20
 }

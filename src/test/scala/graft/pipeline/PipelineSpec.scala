@@ -150,6 +150,58 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 1L, false), (5L, 0L, false), (6L, 0L, false)))
   }
 
+  test("gopher repetition rules: dup-line fraction, top-bigram fraction, keep") {
+    val docs = Seq(
+      (1L, "a a a b"),                      // bigrams: "a a","a a","a b" -> 2/3
+      (2L, "x\ny\nx\n x "),                 // lines x,y,x,x -> 1 - 2/4 = 0.5
+      (3L, "w1 w2 w3 w4 w5"),               // all bigrams unique -> 1/4
+      (4L, "solo"),                         // <2 words -> 0.0
+      (5L, ""),                             // empty -> 0.0 / 0.0
+      (6L, "A a a B b")                     // case-folded: "a a" x2 of 4 -> 0.5
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        round(TextAnalysis.dupLineFrac($"text"), 4).as("dlf"),
+        round(TextAnalysis.topBigramFrac($"text"), 4).as("tbf"),
+        TextAnalysis.gopherKeep($"text").as("keep"))
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0.0, 0.6667, false),
+      (2L, 0.5, 0.3333, false), // bigrams of [x,y,x,x] all unique -> 1/3; dlf kills it
+      (3L, 0.0, 0.25, false),
+      (4L, 0.0, 0.0, true),
+      (5L, 0.0, 0.0, true),
+      (6L, 0.0, 0.5, false)))
+  }
+
+  test("stratified sampling: deterministic, rate-accurate, monotone in rate") {
+    val n = 20000
+    val docs = spark.range(n)
+      .select($"id".as("doc_id"),
+        when($"id" % 2 === 0, "en").otherwise("de").as("lang"))
+    val rates = Map("en" -> 0.3, "de" -> 0.1)
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, salt = 42L)
+      .as[(Long, String)].collect().toSet
+    // determinism: identical selection on a re-run
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, salt = 42L)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    // rate accuracy: xxhash64 uniformity within ~3 sigma of binomial
+    val enKept = s1.count(_._2 == "en"); val deKept = s1.count(_._2 == "de")
+    assert(math.abs(enKept - 3000) < 120, s"en kept $enKept, wanted ~3000")
+    assert(math.abs(deKept - 1000) < 100, s"de kept $deKept, wanted ~1000")
+    // monotone: raising one stratum's rate only ADDS members, and does not
+    // change the other stratum's selection at all
+    val s3 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.6, "de" -> 0.1), salt = 42L).as[(Long, String)].collect().toSet
+    assert(s1.subsetOf(s3))
+    assert(s1.filter(_._2 == "de") == s3.filter(_._2 == "de"))
+    // default rate 0: strata missing from the map are dropped entirely
+    val s4 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.3), salt = 42L).as[(Long, String)].collect().toSet
+    assert(s4.forall(_._2 == "en") && s4 == s1.filter(_._2 == "en"))
+  }
+
   test("token counts (ws + bpe-ish) and fingerprint") {
     val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
     val out = df.select($"doc_id",
