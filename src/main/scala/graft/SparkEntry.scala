@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 40 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 41 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -255,6 +255,26 @@ object SparkEntry {
       val hashCol = pmod(col("doc_id") * 7919, lit(graft.pipeline.Sampling.Denominator))
       graft.pipeline.Sampling.stratifiedSample(docs, "lang", rates, hashCol)
         .orderBy("doc_id")
+    }),
+
+    // PII scrub (C4-style hygiene pass): PII is planted by construction
+    // (the corpus itself has no digits/@), so counts are closed-form in
+    // doc_id and DuckDB replays the scrub with literal replace() of the
+    // planted tokens while Spark runs the REAL regex kernel.
+    "q41_pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 30 === 5, lit(" reach user@example.org now"))
+          .when(col("doc_id") % 30 === 11, lit(" dial +44 123 456 7890 today"))
+          .when(col("doc_id") % 30 === 23, lit(" ping 10.0.0.1 and 192.168.1.1 please"))
+          .otherwise(lit(""))))
+      import graft.pipeline.Redact
+      planted.select(col("doc_id"),
+          Redact.emailCount(col("text")).as("emails"),
+          Redact.phoneCount(col("text")).as("phones"),
+          Redact.ipv4Count(col("text")).as("ips"),
+          length(Redact.scrub(col("text"))).as("scrubbed_len"))
+        .orderBy(col("doc_id"))
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -981,6 +1001,29 @@ object SparkEntry {
         |            WHEN 'fr' THEN 1000 WHEN 'es' THEN 7500
         |            WHEN 'zh' THEN 0 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    // literal replay: counts from doc_id arithmetic, scrubbed length via
+    // exact replace() of the planted tokens by their placeholders
+    "q41_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || CASE
+        |      WHEN doc_id % 30 = 5  THEN ' reach user@example.org now'
+        |      WHEN doc_id % 30 = 11 THEN ' dial +44 123 456 7890 today'
+        |      WHEN doc_id % 30 = 23 THEN ' ping 10.0.0.1 and 192.168.1.1 please'
+        |      ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 30 = 5  THEN 1 ELSE 0 END AS INT) AS emails,
+        |  CAST(CASE WHEN doc_id % 30 = 11 THEN 1 ELSE 0 END AS INT) AS phones,
+        |  CAST(CASE WHEN doc_id % 30 = 23 THEN 2 ELSE 0 END AS INT) AS ips,
+        |  CAST(len(replace(replace(replace(replace(t,
+        |      'user@example.org', '<EMAIL>'),
+        |      '+44 123 456 7890', '<PHONE>'),
+        |      '10.0.0.1', '<IP>'),
+        |      '192.168.1.1', '<IP>')) AS INT) AS scrubbed_len
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q12_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * PII scrubbing for webtext corpora (the C4/CCNet-style pre-training
+ * hygiene pass): replace emails, phone numbers, and IPv4 addresses with
+ * typed placeholder tokens and count what was removed.
+ *
+ * Pure `regexp_replace`/`regexp_count`-style Column expressions — one
+ * codegen'd projection over the scan, no UDF, no shuffle; at 100 TB the
+ * scrub rides the same pass as extraction and never materializes an
+ * intermediate copy of the corpus.
+ *
+ * Patterns are deliberately conservative (high precision over recall —
+ * scrubbing prose that merely looks like a phone number damages training
+ * data more than a missed digit string leaks).
+ */
+object Redact {
+
+  /** local@domain.tld with word boundaries. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+
+  /** International-ish phone: optional +CC, then 3 groups of 3-4 digits
+    * separated by spaces, dots or dashes (min 10 digits total keeps
+    * years/prices out). */
+  val PhoneRe = """\+?\d{1,3}[-. ]\d{3}[-. ]\d{3}[-. ]?\d{2,4}"""
+
+  /** Dotted-quad IPv4 (word-bounded, 1-3 digits per octet). */
+  val Ipv4Re = """(?<!\d)\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?!\d)"""
+
+  private def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Count of each PII class found in `text`. */
+  def emailCount(text: Column): Column = countMatches(text, EmailRe)
+  def phoneCount(text: Column): Column = countMatches(text, PhoneRe)
+  def ipv4Count(text: Column): Column = countMatches(text, Ipv4Re)
+
+  /** Scrubbed text: emails, then phones, then IPs, replaced by typed
+    * placeholders (order matters — emails can contain digit runs). */
+  def scrub(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val p = regexp_replace(e, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+}

@@ -202,6 +202,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(s4.forall(_._2 == "en") && s4 == s1.filter(_._2 == "en"))
   }
 
+  test("PII scrub: counts, placeholders, precision-first non-matches") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@sub.example.co.uk or x@y.io thanks"),
+      (2L, "call +1 555 123 4567 and also 020-7946-0958"),  // 3-4-4 grouping: not matched (precision-first)
+      (3L, "server at 10.0.0.1 port 80, peer 192.168.1.1"),
+      (4L, "version 1.2.3.4567 is not an ip, 3.14 is pi"),      // lookahead blocks
+      (5L, "the year 555 1234 is not a phone (two groups only)"),
+      (6L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        Redact.emailCount($"text").as("e"),
+        Redact.phoneCount($"text").as("p"),
+        Redact.ipv4Count($"text").as("i"),
+        Redact.scrub($"text").as("s"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      (1L, 2, 0, 0), (2L, 0, 1, 0), (3L, 0, 0, 2),
+      (4L, 0, 0, 0), (5L, 0, 0, 0), (6L, 0, 0, 0)))
+    assert(out(0)._5 == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(1)._5 == "call <PHONE> and also 020-7946-0958")
+    assert(out(2)._5 == "server at <IP> port 80, peer <IP>")
+    assert(out(5)._5 == "clean text with no pii at all")
+  }
+
   test("token counts (ws + bpe-ish) and fingerprint") {
     val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
     val out = df.select($"doc_id",
