@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 41 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 42 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -275,6 +275,24 @@ object SparkEntry {
           Redact.ipv4Count(col("text")).as("ips"),
           length(Redact.scrub(col("text"))).as("scrubbed_len"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the COMPOSED curation pipeline (dedup -> repetition -> quality ->
+    // sample) with first-drop-stage attribution; one exchange total (the
+    // dedup window), everything else rides a single codegen pass. Oracle
+    // recomputes every stage independently (window dedup, unnest bigram
+    // mode, the quality formula, the sampling rule) and the same
+    // first-match CASE chain.
+    "q42_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val doubled = docs.unionByName(docs.select(
+        (col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      val rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1,
+        "es" -> 0.75, "zh" -> 0.0)
+      val hashCol = pmod(col("doc_id") * 7919, lit(graft.pipeline.Sampling.Denominator))
+      graft.pipeline.Curate.curate(doubled, "text", "doc_id", "lang",
+          rates, qualityMin = 0.5, hashCol)
+        .orderBy("doc_id")
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -1024,6 +1042,83 @@ object SparkEntry {
         |      '10.0.0.1', '<IP>'),
         |      '192.168.1.1', '<IP>')) AS INT) AS scrubbed_len
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // every stage independently recomputed, then the identical first-match
+    // CASE chain; quality is the UNROUNDED q15 formula (same operation
+    // order as TextAnalysis.qualityScore, so the doubles are bit-equal)
+    "q42_curate" ->
+      s"""WITH doubled AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+         |), dk AS (
+         |  SELECT doc_id, text, lang,
+         |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id
+         |  FROM doubled
+         |), lf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ls) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+         |                 / CAST(len(ls) AS DOUBLE)
+         |      ELSE 0.0 END AS dlf
+         |  FROM (SELECT doc_id,
+         |          list_filter(list_transform(string_split(text, chr(10)),
+         |                                     x -> trim(x)),
+         |                      x -> len(x) > 0) AS ls
+         |        FROM doubled)
+         |), bgx AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |                          i -> ws[i] || ' ' || ws[i + 1])) AS g
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'),
+         |                      x -> len(x) > 0) AS ws
+         |        FROM doubled)
+         |), tb AS (
+         |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tbf
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM bgx GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), q AS (
+         |  SELECT doc_id, least(greatest(
+         |      alpha_ratio * 0.4 +
+         |      least(stop_ratio * 2.0, 1.0) * 0.3 +
+         |      (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
+         |      (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.15,
+         |    0.0), 1.0) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+         |      CASE WHEN n > 0 THEN punct / n ELSE 0.0 END AS punct_ratio,
+         |      CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END AS stop_ratio,
+         |      CASE WHEN n_tok > 0 THEN alpha / n_tok ELSE 0.0 END AS mean_word_len
+         |    FROM (
+         |      SELECT doc_id,
+         |        CAST(length(text) AS DOUBLE) AS n,
+         |        CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+         |        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         |        CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                             x -> len(x) > 0)) AS DOUBLE) AS n_tok,
+         |        CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                                         x -> len(x) > 0),
+         |                 x -> list_contains($stopwordsSqlList, x))) AS DOUBLE) AS stop
+         |      FROM doubled) raw) ratios
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN d.doc_id != d.keep_id THEN 'dup'
+         |       WHEN NOT (l.dlf <= 0.30 AND coalesce(t.tbf, 0.0) <= 0.20)
+         |         THEN 'repetition'
+         |       WHEN q.quality < 0.5 THEN 'quality'
+         |       WHEN (d.doc_id * 7919) % 10000 >=
+         |         CASE d.lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+         |                     WHEN 'fr' THEN 1000 WHEN 'es' THEN 7500
+         |                     WHEN 'zh' THEN 0 ELSE 0 END
+         |         THEN 'sample'
+         |       ELSE 'kept' END AS stage
+         |FROM dk d
+         |JOIN lf l ON d.doc_id = l.doc_id
+         |LEFT JOIN tb t ON d.doc_id = t.doc_id
+         |JOIN q ON d.doc_id = q.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q12_fingerprint" ->
       """SELECT doc_id,

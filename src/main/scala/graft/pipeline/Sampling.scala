@@ -29,7 +29,7 @@ object Sampling {
 
   /** Per-stratum threshold column from a literal rate map (rows in strata
     * missing from `rates` get `defaultRate`). */
-  private def thresholdCol(stratumCol: Column, rates: Map[String, Double],
+  def thresholdCol(stratumCol: Column, rates: Map[String, Double],
       defaultRate: Double): Column = {
     val default = lit((defaultRate * Denominator).toLong)
     rates.toSeq.sortBy(_._1).foldLeft(default) { case (acc, (k, r)) =>

@@ -227,6 +227,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5)._5 == "clean text with no pii at all")
   }
 
+  test("curate: first-drop-stage attribution across all four stages") {
+    // crafted so each stage fires for exactly one doc:
+    val good = "the cat and the dog are in the park with a ball and the sun is out today" // quality-passing
+    val docs = Seq(
+      (1L, good, "en"),                       // kept (hash 7919 < 5000? see below)
+      (2L, good, "en"),                       // exact dup of 1 -> dup
+      (3L, "spark spark spark spark spark ok", "en"), // top-bigram 4/5 -> repetition
+      (4L, "zz qq ww rr tt yy uu ii oo pp",  "en"),   // no stopwords -> low quality
+      (5L, good + " extra", "de")             // de rate 0 -> sample
+    ).toDF("doc_id", "text", "lang")
+    // hash = doc_id (identity for the test), en rate 0.5 -> threshold 5000
+    val out = Curate.curate(docs, "text", "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.0), qualityMin = 0.5, hashCol = col("doc_id"))
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "en", "kept"), (2L, "en", "dup"), (3L, "en", "repetition"),
+      (4L, "en", "quality"), (5L, "de", "sample")))
+    val att = Curate.attrition(out.toDF("doc_id", "lang", "stage"))
+      .as[(String, Long)].collect().toMap
+    assert(att == Map("kept" -> 1L, "dup" -> 1L, "repetition" -> 1L,
+      "quality" -> 1L, "sample" -> 1L))
+  }
+
   test("token counts (ws + bpe-ish) and fingerprint") {
     val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
     val out = df.select($"doc_id",
