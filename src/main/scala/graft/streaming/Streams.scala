@@ -123,6 +123,25 @@ object Streams {
     }
   }
 
+  /** Streaming curation: the batch pipeline's gates lifted onto an
+    * unbounded stream. Exact dedup uses `dropDuplicatesWithinWatermark` on
+    * the content hash — the dedup state is BOUNDED by the watermark
+    * horizon, which is the only shape under which exact dedup is viable on
+    * an infinite stream (a cross-history dedup belongs in the batch
+    * compaction pass; this mirrors how crawl pipelines split "seen this
+    * hour" from "seen ever"). Quality and repetition gates are the same
+    * codegen Column expressions as the batch path, evaluated per
+    * micro-batch with no extra state. */
+  def streamingCurate(docs: DataFrame, qualityMin: Double,
+      tsCol: String = "ts", textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__h", xxhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("__h")
+      .filter(graft.pipeline.TextAnalysis.gopherKeep(col(textCol)) &&
+        graft.pipeline.TextAnalysis.qualityScore(col(textCol)) >= qualityMin)
+      .drop("__h")
+
   /** File-source convenience: watch `dir` for new page parquet files and
     * return the streaming extracted frame (caller attaches the sink). */
   def streamingExtractFromDir(spark: SparkSession, dir: String): Dataset[StreamExtracted] = {

@@ -40,6 +40,31 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming curate: watermark-bounded dedup + quality gate per micro-batch") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val good = "the cat and the dog are in the park with a ball and the sun is out today"
+    val junk = "zz qq ww rr tt yy uu ii oo pp"                 // fails quality
+    val repet = "spark spark spark spark spark ok"             // fails repetition
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = Streams.streamingCurate(df, qualityMin = 0.5, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a dup inside the batch, a junk doc, a repetitive doc
+      input.addData((ts(1), good), (ts(2), good), (ts(3), junk), (ts(4), repet))
+      q.processAllAvailable()
+      // batch 2: same content within the watermark window -> still deduped;
+      // plus a fresh doc
+      input.addData((ts(5), good), (ts(6), good + " fresh"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT text FROM curated").collect().map(_.getString(0)).toSeq
+      assert(rows.sorted == Seq(good, good + " fresh").sorted,
+        s"got: $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap split + timeout close") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
