@@ -278,8 +278,9 @@ object SparkEntry {
     }),
 
     // the COMPOSED curation pipeline (dedup -> repetition -> quality ->
-    // sample) with first-drop-stage attribution; one exchange total (the
-    // dedup window), everything else rides a single codegen pass. Oracle
+    // sample) with first-drop-stage attribution; doc text never shuffles
+    // (dedup exchanges only (hash,id) pairs, joined back on the at-rest
+    // id key), everything else rides a single codegen pass. Oracle
     // recomputes every stage independently (window dedup, unnest bigram
     // mode, the quality formula, the sampling rule) and the same
     // first-match CASE chain.

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,22 +9,28 @@ import org.apache.spark.sql.functions._
  * attribution of the FIRST stage that dropped it (`stage` column:
  * dup | repetition | quality | sample | kept).
  *
- * Scale shape: ONE exchange total — the min-id-per-content-hash window for
- * dedup. Every other stage (Gopher repetition, quality score, sampling
- * hash) is a codegen'd Column expression evaluated in the same pass, so
- * at 100 TB the whole curation decision costs a single hash-partitioned
- * shuffle of (hash, id) pairs plus one streaming projection. Stage order
- * is fixed (cheap global rule first, per-doc rules after) and attribution
- * is first-match, so attrition stats per stage are well-defined.
+ * Scale shape: the document TEXT never shuffles. Dedup reduces to
+ * exchanges of narrow pairs — (content_hash, id) aggregated to
+ * min-id-per-hash, then (id, keep_id) joined back on the id key, which is
+ * the key the corpus is bucketed/partitioned by at rest, so at 100 TB the
+ * doc-side of that join is co-located and shuffle-free. Every other stage
+ * (Gopher repetition, quality score, sampling hash) is a codegen'd Column
+ * expression in the same projection. (A window over the content hash
+ * would be one pass but would shuffle the full text; two columnar scans +
+ * narrow shuffles are strictly cheaper at corpus scale.) Stage order is
+ * fixed and attribution is first-match, so attrition stats per stage are
+ * well-defined.
  */
 object Curate {
 
   def curate(docs: DataFrame, textCol: String, idCol: String,
       stratumCol: String, rates: Map[String, Double], qualityMin: Double,
       hashCol: Column): DataFrame = {
-    val w = Window.partitionBy(md5(lower(col(textCol))))
-    docs
-      .withColumn("__keep_id", min(col(idCol)).over(w))
+    val hashes = docs.select(col(idCol), md5(lower(col(textCol))).as("__h"))
+    val keepTbl = hashes.groupBy("__h").agg(min(col(idCol)).as("__keep_id"))
+    val assign = hashes.join(keepTbl, Seq("__h"))
+      .select(col(idCol), col("__keep_id"))
+    docs.join(assign, Seq(idCol))
       .withColumn("stage",
         when(col(idCol) =!= col("__keep_id"), "dup")
           .when(!TextAnalysis.gopherKeep(col(textCol)), "repetition")
