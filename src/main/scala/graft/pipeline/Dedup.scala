@@ -229,8 +229,10 @@ object Dedup {
     * random-hyperplane LSH buckets (see Similarity.hyperplaneSignature). */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 16, seed: Long = 7L): DataFrame = {
+    val mat = Similarity.planeMatrix(df.sparkSession, planes,
+      Similarity.vecDim(df, vecCol), seed)
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", Similarity.hyperplaneSignature(col("v"), planes, seed))
+      .withColumn("sig", Similarity.hyperplaneSignatureFast(col("v"), mat))
       .cache() // reused by both sides of the bucket self-join
     val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))

@@ -59,6 +59,47 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** The plane components are loop-INVARIANT — `xxhash64(seed, p, i)`
+    * depends on nothing per-row, yet [[hyperplaneSignature]] recomputes
+    * planes×dim hashes for every vector (768 hash calls/row at 12×64; the
+    * hashing dominates the dot product). This hoists them once into a
+    * literal matrix via one bounded Spark job using the IDENTICAL
+    * expression (same argument types), so signatures stay bit-equal —
+    * asserted by a spec. At 10^9 rows this removes ~10^12 hash calls. */
+  def planeMatrix(spark: org.apache.spark.sql.SparkSession,
+      planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rows = spark.range(planes.toLong * dim).select(
+      (col("id") / dim).cast("int").as("p"),
+      (col("id") % dim).cast("int").as("i"),
+      (xxhash64(lit(seed), (col("id") / dim).cast("int"),
+          (col("id") % dim).cast("int")).cast("double")
+        / lit(Long.MaxValue.toDouble)).as("c"))
+      .collect()
+    val m = Array.ofDim[Double](planes, dim)
+    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    m
+  }
+
+  /** [[hyperplaneSignature]] against a precomputed [[planeMatrix]]:
+    * bit-identical output, no per-row hashing. Vectors longer than the
+    * matrix's dim are NOT supported (matches the caller's fixed-dim
+    * corpus contract). */
+  def hyperplaneSignatureFast(vec: Column, planeMat: Array[Array[Double]]): Column = {
+    val bits = planeMat.indices.map { p =>
+      val planeLit = array(planeMat(p).map(lit).toSeq: _*)
+      val dot = aggregate(
+        zip_with(vec, slice(planeLit, lit(1), size(vec)),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Dimension of the vector column, from one bounded point-read. */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** IVF (inverted-file) ANN: a bounded centroid table — every
     * `centEvery`-th vector by id, a deterministic rule DuckDB can replay —
     * partitions the corpus into Voronoi lists; a query scores only the
@@ -116,15 +157,18 @@ object Similarity {
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, planes: Int = 12, probeRadius: Int = 2,
       seed: Long = 7L): DataFrame = {
-    // query signature computed with the same expressions on a 1-row frame
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qsigRow = Seq(query).toDF("v")
-      .select(hyperplaneSignature(col("v"), planes, seed).as("sig"))
-      .head()
-    val qsig = qsigRow.getLong(0)
+    val dim = vecDim(df, vecCol)
+    val mat = planeMatrix(df.sparkSession, planes, dim, seed)
+    // query signature in plain Scala over the same matrix — identical
+    // operand order, so bit-equal to the Column expression
+    val qsig = (0 until planes).map { p =>
+      var dot = 0.0; var i = 0
+      val n = math.min(dim, query.length)
+      while (i < n) { dot += query(i) * mat(p)(i); i += 1 }
+      if (dot >= 0) 1L << p else 0L
+    }.sum
     df.select(col(idCol), col(vecCol).as("v"),
-        hyperplaneSignature(col(vecCol), planes, seed).as("sig"))
+        hyperplaneSignatureFast(col(vecCol), mat).as("sig"))
       .filter(bit_count(col("sig").bitwiseXOR(lit(qsig))) <= probeRadius)
       .select(col(idCol), cosineToQuery(col("v"), query).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

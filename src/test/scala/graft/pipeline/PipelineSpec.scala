@@ -97,6 +97,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("hoisted plane matrix: signatures bit-equal to the per-row-hash expression") {
+    val n = 200
+    val dim = 16
+    val planes = 12
+    val seed = 7L
+    val vecs = spark.range(n).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        ((graft.fixtures.SiteGen.mix(i, d.toLong) % 1000L) / 500.0 - 1.0).toFloat)
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val mat = Similarity.planeMatrix(spark, planes, dim, seed)
+    val both = vecs.select($"vec_id",
+        Similarity.hyperplaneSignature($"embedding", planes, seed).as("slow"),
+        Similarity.hyperplaneSignatureFast($"embedding", mat).as("fast"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.forall(r => r._2 == r._3),
+      s"signature mismatch: ${both.filter(r => r._2 != r._3).take(3).toSeq}")
+  }
+
   test("IVF topK: recall vs brute force, probe pruning, oracle-equivalent assignment") {
     val n = 200
     val dim = 16
