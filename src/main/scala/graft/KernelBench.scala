@@ -1,7 +1,13 @@
 package graft
 object KernelBench {
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("threads")) { threadScaling(); return }
+    if (args.headOption.contains("threads")) { threadScaling(2000); return }
+    // DRAM-streaming variant: ~20k pages (~1 GB incl. UTF-16 strings) so the
+    // working set cannot sit in L3. The 2000-page mode measures the CPU/cache
+    // roofline; this mode measures the memory-bandwidth roofline — the one
+    // the engine's wide generations actually hit (and the one a contended
+    // host degrades first; see BENCH.md's 2026-08-18 disclosure).
+    if (args.headOption.contains("threads-wide")) { threadScaling(20000); return }
     val rows = (0 until 200).map(i => graft.fixtures.SiteGen.wideRow(42L, i.toLong, 1562, 64, 16, 60))
     // warmup
     rows.take(50).foreach(r => graft.core.Extractor.extract(r.url, new String(r.html, "UTF-8")))
@@ -26,11 +32,24 @@ object KernelBench {
     time("md-postprocess")(graft.core.Markdown.postprocess(md))
   }
 
-  /** Spark-free kernel thread-scaling: the socket's DRAM ceiling, measured
-    * without any orchestration. */
-  def threadScaling(): Unit = {
-    val rows = (0 until 2000).map(i => graft.fixtures.SiteGen.wideRow(42L, i.toLong, 1562, 64, 16, 60))
-    val htmls = rows.map(r => (r.url, new String(r.html, "UTF-8"))).toArray
+  /** Spark-free kernel thread-scaling: the socket's ceiling, measured
+    * without any orchestration. `pages`=2000 fits L3 (CPU roofline);
+    * `pages`=20000 streams DRAM (bandwidth roofline). */
+  def threadScaling(pages: Int): Unit = {
+    val htmls = new Array[(String, String)](pages)
+    val genThreads = (0 until 8).map { t =>
+      new Thread(() => {
+        var i = t
+        while (i < pages) {
+          // constant generator params: page i's bytes are identical across
+          // modes, so 2000-page numbers stay comparable with prior rounds
+          val r = graft.fixtures.SiteGen.wideRow(42L, i.toLong, 1562, 64, 16, 60)
+          htmls(i) = (r.url, new String(r.html, "UTF-8"))
+          i += 8
+        }
+      })
+    }
+    genThreads.foreach(_.start()); genThreads.foreach(_.join())
     // warmup: multi-threaded so JIT sees the concurrent profile before any
     // measured point
     (0 until 8).map { t =>
