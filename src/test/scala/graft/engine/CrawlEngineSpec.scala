@@ -434,6 +434,33 @@ class CrawlEngineSpec extends AnyFunSuite {
     assertTraceEqual(engineTrace(engine), oracle.trace)
   }
 
+  test("fuzz: 8 random scheduler configs match the sequential oracle (trace+seen+progress)") {
+    // deterministic PRNG over the scheduler-semantics knobs: strategy,
+    // depth, limit, politeness budget, wave batching. Every draw must agree
+    // with the oracle on the full canonical trace, the seen set, and the
+    // progress counters — the scheduler has no "easy" configurations.
+    val rnd = new scala.util.Random(20260818L)
+    val strategies = Seq("all", "same-domain", "same-hostname", "same-origin")
+    (0 until 8).foreach { k =>
+      val cfg = CrawlConfig(
+        jobId = s"fz$k",
+        seeds = Seq(corpusRows(rnd.nextInt(corpusRows.size)).url),
+        strategy = strategies(rnd.nextInt(strategies.size)),
+        maxDepth = 1 + rnd.nextInt(8),
+        limit = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(60),
+        hostBudgetPerStep = if (rnd.nextBoolean()) Int.MaxValue else 1 + rnd.nextInt(6),
+        politenessWaves = 1 + rnd.nextInt(4))
+      val (got, oracle, engine) = runBoth(cfg)
+      assertTraceEqual(got, oracle.trace)
+      val engineSeen = engine.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(engineSeen == oracle.seen, s"seen mismatch at draw $k cfg=$cfg")
+      val p = engine.finalProgress(cfg.jobId)
+      val op = oracle.progress(cfg.jobId)
+      assert((p.enqueued, p.done, p.succeeded, p.failed) ==
+        ((op.enqueued, op.done, op.succeeded, op.failed)), s"progress mismatch at draw $k cfg=$cfg")
+    }
+  }
+
   test("multi-job crawl keeps jobs independent") {
     val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
     val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
