@@ -105,13 +105,13 @@ object Similarity {
     * partitions the corpus into Voronoi lists; a query scores only the
     * `nprobe` lists whose centroids are nearest to it (the Faiss IVF-Flat
     * layout). The centroid set is collected once (K = |corpus|/centEvery is
-    * bounded by construction) and inlined as literal arrays, so list
-    * assignment is a single codegen'd `greatest(struct(sim, -cid))`
-    * expression — no join, no shuffle; the only exchange is the final
-    * top-k reduce (TakeOrderedAndProject). At 100 TB the assignment column
-    * is precomputed at ingest and the corpus is partitioned by list id, so
-    * a query becomes `nprobe` partition-pruned scans while the centroid
-    * table (a few MB even at 2^20 lists) stays a broadcast dimension. */
+    * bounded by construction) and broadcast; assignment + scoring run as a
+    * dense Scala kernel over the scan — no join, no shuffle; the only
+    * exchange is the final top-k reduce (TakeOrderedAndProject). At 100 TB
+    * the assignment column is precomputed at ingest and the corpus is
+    * partitioned by list id, so a query becomes `nprobe` partition-pruned
+    * scans while the centroid table (a few MB even at 2^20 lists) stays a
+    * broadcast dimension. */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, centEvery: Long = 50, nprobe: Int = 4): DataFrame = {
     val cents: Array[(Long, Array[Double])] = df
@@ -135,17 +135,51 @@ object Similarity {
       .map { case (cid, cv) => (cid, cosLocal(cv)) }
       .sortBy { case (cid, s) => (-s, cid) }
       .take(nprobe).map(_._1).toSeq
-    // assignment: argmax over centroids with ties to the lowest cid —
-    // greatest() over (sim, -cid) structs, all inside whole-stage codegen
-    val simStructs = cents.map { case (cid, cv) =>
-      struct(cosineCol(col("__v"), array(cv.map(lit).toSeq: _*)).as("sim"),
-        lit(-cid).as("ncid"))
-    }.toSeq
-    val best = if (simStructs.sizeIs == 1) simStructs.head else greatest(simStructs: _*)
-    df.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("__cid", -best.getField("ncid"))
-      .filter(col("__cid").isin(probeCids: _*))
-      .select(col(idCol), cosineToQuery(col("__v"), query).as("score"))
+    // assignment + scoring as a broadcast Scala kernel. Catalyst
+    // higher-order functions run INTERPRETED (no whole-stage codegen, no
+    // constant folding, no CSE across when-branches): the Column version
+    // measured ~2 ms/row at 40 centroids x 64 dims — three orders of
+    // magnitude off the arithmetic — the same pathology the q20 shingle
+    // kernel replaced. Semantics are pinned by the spec (nprobe=K must
+    // equal brute force; ties to lowest cid) and the EXACT DuckDB oracle.
+    // Argmax ranks by dot/centroidNorm: the doc norm is a positive per-row
+    // constant across centroids, so dropping it cannot change the argmax
+    // (zero-norm docs give all-zero sims either way).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsNorm: Array[(Long, Array[Double], Double)] =
+      cents.map { case (cid, cv) => (cid, cv, math.sqrt(cv.map(x => x * x).sum)) }
+    val centsB = spark.sparkContext.broadcast(centsNorm)
+    val probeB = spark.sparkContext.broadcast(probeCids.toSet)
+    val queryB = spark.sparkContext.broadcast(query.toArray)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = centsB.value; val probes = probeB.value; val q = queryB.value
+        it.flatMap { case (id, v) =>
+          var bestSim = Double.NegativeInfinity; var bestCid = Long.MaxValue
+          cs.foreach { case (cid, cv, cn) =>
+            var dot = 0.0; var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { dot += v(i) * cv(i); i += 1 }
+            val sim = if (cn > 0) dot / cn else 0.0
+            if (sim > bestSim) { bestSim = sim; bestCid = cid } // ties keep lowest cid (cs sorted)
+          }
+          if (!probes(bestCid)) None
+          else {
+            // bit-equal to cosineToQuery: dot left-to-right, norms apart
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            val n = math.min(v.length, q.length)
+            while (i < n) { dot += v(i) * q(i); i += 1 }
+            i = 0; while (i < v.length) { na += v(i) * v(i); i += 1 }
+            i = 0; while (i < q.length) { nb += q(i) * q(i); i += 1 }
+            val score =
+              if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+            Some((id, score))
+          }
+        }
+      }
+      .toDF(idCol, "score")
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
