@@ -18,17 +18,36 @@ import org.apache.spark.sql.functions._
  */
 object Decontaminate {
 
-  /** Distinct xxhash64 hashes of all `n`-word shingles of `textCol`,
-    * lowercased, whitespace-tokenized — as a per-row array column. */
+  /** Distinct 64-bit hashes of all `n`-word shingles: lowercased,
+    * whitespace-tokenized, first-occurrence order, empty below `n` words.
+    * A Scala kernel (same digest as the `xxhash64` Column — seed-42
+    * xxHash64 over UTF-8): the equivalent higher-order Column pipeline
+    * runs INTERPRETED per element, ~3 orders of magnitude slower per doc
+    * (the q20 shingle-kernel lesson). One allocation-lean pass. */
+  private[pipeline] def shingleHashSetKernel(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      val h = graft.frontier.SeenBloom.hash64(sb.toString)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.result()
+  }
+
+  /** [[shingleHashSetKernel]] as a column (applied to both corpus and
+    * eval sides, so the join keys agree by construction). */
   def shingleHashes(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-    val words = filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
-    // i-th shingle = words[i .. i+n-1], 0-based; none if fewer than n words
-    // (sequence() rejects stop < start, so short docs need the guard)
-    when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(words) - n, lit(1)),
-        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n)))))))
-      .otherwise(array().cast("array<bigint>"))
+    val f = udf((t: String) => shingleHashSetKernel(t, n))
+    f(textCol)
   }
 
   /**
