@@ -33,16 +33,24 @@ object Redact {
   private def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
-  /** Count of each PII class found in `text`. */
+  /** Count of each PII class found in `text`. Phones are counted on
+    * IP-masked text: `PhoneRe` also matches a dotted IPv4 whose last three
+    * octets happen to be 3 digits (e.g. `192.168.100.200`), and such a span
+    * is an IP, not a phone — masking IPs first keeps the two counts
+    * disjoint, mirroring `scrub`'s replacement order. */
   def emailCount(text: Column): Column = countMatches(text, EmailRe)
-  def phoneCount(text: Column): Column = countMatches(text, PhoneRe)
+  def phoneCount(text: Column): Column =
+    countMatches(regexp_replace(text, Ipv4Re, "<IP>"), PhoneRe)
   def ipv4Count(text: Column): Column = countMatches(text, Ipv4Re)
 
-  /** Scrubbed text: emails, then phones, then IPs, replaced by typed
-    * placeholders (order matters — emails can contain digit runs). */
+  /** Scrubbed text: emails, then IPs, then phones, replaced by typed
+    * placeholders. Order matters twice over: emails can contain digit runs,
+    * and `PhoneRe` can match a dotted IPv4 (see `phoneCount`) — IPs must be
+    * replaced before the phone pass so a quad is tagged `<IP>`, never
+    * `<PHONE>`. */
   def scrub(text: Column): Column = {
     val e = regexp_replace(text, EmailRe, "<EMAIL>")
-    val p = regexp_replace(e, PhoneRe, "<PHONE>")
-    regexp_replace(p, Ipv4Re, "<IP>")
+    val ip = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(ip, PhoneRe, "<PHONE>")
   }
 }

@@ -193,6 +193,38 @@ class PipelineSpec extends AnyFunSuite {
       (6L, 0.0, 0.5, false)))
   }
 
+  test("gopher kernel == Column-expression originals on 1000 fuzzed docs") {
+    // the one-pass Scala kernel replaced the interpreted sort_array fold;
+    // the originals survive as *Expr and serve as the independent oracle
+    val rnd = new scala.util.Random(4242)
+    val wsChars = Array(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val words = Array("the", "The", "aa", "b", "łóDŹ", "és", "日本", "x1",
+      "reuse", "REUSE", "a-b", "..", "été")
+    def doc(): String = {
+      val sb = new StringBuilder
+      val n = rnd.nextInt(120)
+      var i = 0
+      while (i < n) {
+        if (rnd.nextInt(5) == 0) sb.append(wsChars(rnd.nextInt(wsChars.length)))
+        else sb.append(words(rnd.nextInt(words.length)))
+        if (rnd.nextInt(3) != 0) sb.append(wsChars(rnd.nextInt(wsChars.length)))
+        i += 1
+      }
+      // salt in some repeated lines so dup-line paths fire
+      if (rnd.nextInt(3) == 0) sb.append("\n dup line \n dup line \n")
+      sb.toString
+    }
+    val docs = (1 to 1000).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val diff = docs.select(
+        TextAnalysis.dupLineFrac($"text").as("kd"),
+        TextAnalysis.topBigramFrac($"text").as("kt"),
+        TextAnalysis.dupLineFracExpr($"text").as("ed"),
+        TextAnalysis.topBigramFracExpr($"text").as("et"))
+      .where($"kd" =!= $"ed" || $"kt" =!= $"et")
+      .count()
+    assert(diff == 0L, s"$diff fuzzed docs diverge between kernel and Column originals")
+  }
+
   test("stratified sampling: deterministic, rate-accurate, monotone in rate") {
     val n = 20000
     val docs = spark.range(n)
@@ -228,7 +260,8 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "server at 10.0.0.1 port 80, peer 192.168.1.1"),
       (4L, "version 1.2.3.4567 is not an ip, 3.14 is pi"),      // lookahead blocks
       (5L, "the year 555 1234 is not a phone (two groups only)"),
-      (6L, "clean text with no pii at all")
+      (6L, "clean text with no pii at all"),
+      (7L, "ping 192.168.100.200 now")  // dotted quad PhoneRe would also match: IP wins, no double count
     ).toDF("doc_id", "text")
     val out = docs.select($"doc_id",
         Redact.emailCount($"text").as("e"),
@@ -239,11 +272,12 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int, String)].collect().toSeq
     assert(out.map(r => (r._1, r._2, r._3, r._4)) == Seq(
       (1L, 2, 0, 0), (2L, 0, 1, 0), (3L, 0, 0, 2),
-      (4L, 0, 0, 0), (5L, 0, 0, 0), (6L, 0, 0, 0)))
+      (4L, 0, 0, 0), (5L, 0, 0, 0), (6L, 0, 0, 0), (7L, 0, 0, 1)))
     assert(out(0)._5 == "mail me at <EMAIL> or <EMAIL> thanks")
     assert(out(1)._5 == "call <PHONE> and also 020-7946-0958")
     assert(out(2)._5 == "server at <IP> port 80, peer <IP>")
     assert(out(5)._5 == "clean text with no pii at all")
+    assert(out(6)._5 == "ping <IP> now")
   }
 
   test("curate: first-drop-stage attribution across all four stages") {
