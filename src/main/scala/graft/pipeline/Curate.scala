@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
  * min-id-per-hash, then (id, keep_id) joined back on the id key, which is
  * the key the corpus is bucketed/partitioned by at rest, so at 100 TB the
  * doc-side of that join is co-located and shuffle-free. Every other stage
- * (Gopher repetition, quality score, sampling hash) is a codegen'd Column
- * expression in the same projection. (A window over the content hash
+ * rides the same single projection: quality score and sampling hash as
+ * codegen'd Column expressions, Gopher repetition as a one-pass Scala
+ * kernel UDF ([[TextAnalysis.gopherStatsKernel]]). (A window over the content hash
  * would be one pass but would shuffle the full text; two columnar scans +
  * narrow shuffles are strictly cheaper at corpus scale.) Stage order is
  * fixed and attribution is first-match, so attrition stats per stage are

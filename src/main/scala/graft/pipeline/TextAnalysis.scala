@@ -161,27 +161,112 @@ object TextAnalysis {
   }
 
   // ---- Gopher/MassiveText repetition rules (Rae et al. 2021, table A1) ----
-  // Pure Column expressions: per-doc metrics never shuffle; at 100 TB this
-  // is one codegen'd projection over the scan, filtered before anything
-  // downstream sees the rejected rows.
+  // Per-doc metrics never shuffle; the math runs in a ONE-PASS Scala kernel
+  // (the q20/q26/q38 lesson: Catalyst higher-order functions — split /
+  // transform / sort_array / aggregate over per-doc arrays — evaluate
+  // interpreted per element, ~3 orders of magnitude off the raw arithmetic,
+  // and the old sort_array fold here was exactly that pathology). The
+  // Column-expression originals survive below as `*Expr`, kept as the
+  // independent oracle a fuzz test checks the kernel against.
+
+  /** Both repetition stats in one pass over the document. */
+  final case class GopherStats(dup: Double, top: Double)
+
+  /** One-pass kernel. Semantics bit-match the `*Expr` Column originals:
+    * lines = split on '\n', trim SPACES ONLY (Spark `trim` = ASCII 32),
+    * drop empties; dup = 1 - distinct/total. words = lower(text) split on
+    * java-regex `\s+`, drop empties; top = max bigram multiplicity /
+    * (words-1). Zero for empty/one-line/one-word docs. */
+  private[pipeline] def gopherStatsKernel(text: String): GopherStats = {
+    if (text == null) return GopherStats(0.0, 0.0)
+    // dup-line fraction: manual '\n' walk, no regex, no array materialized
+    val seenLines = new java.util.HashSet[String]()
+    var totalLines = 0
+    val n = text.length
+    var start = 0
+    while (start <= n) {
+      var end = text.indexOf('\n', start)
+      if (end < 0) end = n
+      var a = start; var b = end
+      while (a < b && text.charAt(a) == ' ') a += 1
+      while (b > a && text.charAt(b - 1) == ' ') b -= 1
+      if (b > a) { totalLines += 1; seenLines.add(text.substring(a, b)): Unit }
+      start = end + 1
+    }
+    val dup =
+      if (totalLines > 0) 1.0 - seenLines.size.toDouble / totalLines.toDouble
+      else 0.0
+    // top-bigram fraction: tokenize the lowered text, count bigram
+    // multiplicity in a hash map (== the max equal-run of the old
+    // sort_array fold). No-arg toLowerCase mirrors UTF8String.toLowerCase
+    // (ASCII fast path, else platform-default String.toLowerCase).
+    val lowered = text.toLowerCase
+    @inline def isWs(c: Char): Boolean = // java regex \s = [ \t\n\x0B\f\r]
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val m = lowered.length
+    val counts = new java.util.HashMap[String, Int]()
+    var best = 0
+    var nWords = 0
+    var prev: String = null
+    var i = 0
+    while (i < m) {
+      while (i < m && isWs(lowered.charAt(i))) i += 1
+      if (i < m) {
+        val ws = i
+        while (i < m && !isWs(lowered.charAt(i))) i += 1
+        val w = lowered.substring(ws, i)
+        nWords += 1
+        if (prev != null) {
+          val key = prev + " " + w
+          val c = counts.merge(key, 1, Integer.sum)
+          if (c > best) best = c
+        }
+        prev = w
+      }
+    }
+    val top =
+      if (nWords >= 2) best.toDouble / (nWords - 1).toDouble else 0.0
+    GopherStats(dup, top)
+  }
+
+  private val gopherStatsUdf = udf(gopherStatsKernel _)
+
+  /** Both stats as a struct column `(dup, top)` — compute ONCE per row and
+    * getField when a caller needs both (CSE dedups identical deterministic
+    * UDF calls inside one projection, but sharing the struct is explicit). */
+  def gopherStats(text: Column): Column = gopherStatsUdf(text)
+
+  /** Fraction of lines that are duplicates of an earlier line:
+    * 1 - distinct/total (0 for empty/one-line docs). */
+  def dupLineFrac(text: Column): Column = gopherStats(text).getField("dup")
+
+  /** Fraction of word 2-grams occupied by the single most frequent 2-gram. */
+  def topBigramFrac(text: Column): Column = gopherStats(text).getField("top")
+
+  /** The Gopher keep decision at the published thresholds: duplicate-line
+    * fraction <= 0.30, top-2-gram fraction <= 0.20. */
+  def gopherKeep(text: Column): Column = {
+    val g = gopherStats(text)
+    g.getField("dup") <= 0.30 && g.getField("top") <= 0.20
+  }
+
+  // ---- Column-expression originals, kept ONLY as the fuzz-test oracle ----
 
   /** Non-empty trimmed lines of a document. */
   private def lines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
-  /** Fraction of lines that are duplicates of an earlier line:
-    * 1 - distinct/total (0 for empty/one-line docs). */
-  def dupLineFrac(text: Column): Column = {
+  /** Column-expression original of [[dupLineFrac]] (fuzz-test oracle). */
+  private[pipeline] def dupLineFracExpr(text: Column): Column = {
     val ls = lines(text)
     when(size(ls) > 0,
       lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
       .otherwise(lit(0.0))
   }
 
-  /** Fraction of word 2-grams occupied by the single most frequent 2-gram.
-    * Mode-of-array without a shuffle: sort the per-doc bigram array, then a
-    * single aggregate() fold tracks the longest equal-run. */
-  def topBigramFrac(text: Column): Column = {
+  /** Column-expression original of [[topBigramFrac]] (fuzz-test oracle):
+    * mode-of-array via sort_array + a single aggregate() equal-run fold. */
+  private[pipeline] def topBigramFracExpr(text: Column): Column = {
     val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
     val bigrams = transform(sequence(lit(1), size(words) - 1, lit(1)),
       i => concat(element_at(words, i), lit(" "), element_at(words, i + 1)))
@@ -198,9 +283,4 @@ object TextAnalysis {
     when(size(words) >= 2, best.cast("double") / (size(words) - 1).cast("double"))
       .otherwise(lit(0.0))
   }
-
-  /** The Gopher keep decision at the published thresholds: duplicate-line
-    * fraction <= 0.30, top-2-gram fraction <= 0.20. */
-  def gopherKeep(text: Column): Column =
-    dupLineFrac(text) <= 0.30 && topBigramFrac(text) <= 0.20
 }
