@@ -44,15 +44,20 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> samples.min
+      // min over SUCCESSFUL samples only — a fast-failing run must not read
+      // as a speedup. A query with zero successes reports its max (worst
+      // observed time) and is named in the "failed" field.
+      val good = samples.collect { case (true, s) => s }
+      name -> (good.nonEmpty, if (good.nonEmpty) good.min else samples.map(_._2).max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, (false, _)) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,17 @@ object SparkEntry {
       (if (java.nio.file.Files.isWritable(shm))
          java.nio.file.Files.createTempDirectory(shm, "graft-crawl")
        else java.nio.file.Files.createTempDirectory("graft-crawl")).toString
+    // tmpfs is RAM and survives JVM exit: without cleanup every Bench/Verify
+    // invocation would permanently leak a full crawl checkpoint into /dev/shm
+    // (the exact host-contention noise BENCH.md documents). A shutdown hook
+    // (not an eager delete) because the returned trace() reads the workdir
+    // parquet lazily — it must stay alive until the caller's action runs.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(work))
+    }))
     val eng = new CrawlEngine(spark, pagesDf, work,
       robotsBodies = graft.fixtures.SiteGen.robotsRows(hosts).toMap,
       settings = CrawlEngine.Settings(bloomExpectedPerShard = 100000L))

@@ -39,6 +39,24 @@ final case class GenManifest(
 final class Checkpoint(workDir: String) {
   private implicit val fmts: Formats = DefaultFormats
 
+  /** Per-crawl-lifecycle nonce, persisted at `workDir/_nonce`: `run()` mints
+    * a fresh one, `resume()` reads the existing one. Sidecar bloom file
+    * names embed it ([[graft.frontier.SidecarBlooms]]) so the JVM-global
+    * executor filter cache — keyed by file path — can never serve a
+    * PREVIOUS crawl's filter for a recreated bucket when a workdir path is
+    * deleted and reused within one long-lived JVM. */
+  def newNonce(): String = {
+    Files.createDirectories(Paths.get(workDir))
+    val n = java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
+    Files.writeString(Paths.get(s"$workDir/_nonce"), n)
+    n
+  }
+
+  def readNonce(): Option[String] = {
+    val p = Paths.get(s"$workDir/_nonce")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
   def frontierPath(gen: Int): String = s"$workDir/frontier/gen=$gen"
   def resultsPath(gen: Int): String = s"$workDir/results/gen=$gen"
   def bloomPath(gen: Int): Path = Paths.get(s"$workDir/bloom/gen=$gen.bin")
@@ -156,6 +174,18 @@ final class Checkpoint(workDir: String) {
         s.stripPrefix("gen=").stripSuffix(".json").toInt }
       .toSeq
     if (gens.isEmpty) None else readManifest(gens.max)
+  }
+
+  /** Fresh-start cleanup for run(): delete ALL committed state a previous
+    * crawl left under this workDir — manifests included, else a crash before
+    * this run's first commit followed by resume() would resurrect the dead
+    * crawl. Cancel markers are kept (a cancel racing the start of the run
+    * must still take effect at the first barrier). */
+  def reset(): Unit = {
+    Seq("manifest", "bloom", "frontier", "results", "seen").foreach { sub =>
+      val dir = Paths.get(s"$workDir/$sub")
+      if (Files.exists(dir)) deleteRecursively(dir)
+    }
   }
 
   /** Delete uncommitted generation directories > `gen` and compactions that

@@ -88,14 +88,28 @@ final class CrawlEngine(
 
   /** Run-constant broadcasts, shipped ONCE per run instead of per superstep.
     * (Measured: ~3-5 tiny TorrentBroadcast writes per generation added
-    * 50-100 ms of driver latency each superstep at bench scale.) Lazy so
-    * they capture `configs` after run()/resume() assigns it. */
-  private lazy val cfgB = spark.sparkContext.broadcast(configs)
-  private lazy val robotsB = spark.sparkContext.broadcast(robotsRules)
-  private lazy val budgetB =
-    spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.hostBudgetPerStep.toLong })
-  private lazy val wavesB =
-    spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.politenessWaves.toLong })
+    * 50-100 ms of driver latency each superstep at bench scale.) Rebuilt by
+    * run()/resume() AFTER `configs` is assigned — a lazy val here would
+    * capture the FIRST run's configs forever and silently schedule a second
+    * run()/resume() on the same engine with stale budgets (or throw on a
+    * jobId the first run never saw). */
+  private var cfgB: org.apache.spark.broadcast.Broadcast[Map[String, CrawlConfig]] = _
+  private var robotsB: org.apache.spark.broadcast.Broadcast[Map[String, Robots.RobotRules]] = _
+  private var budgetB: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = _
+  private var wavesB: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = _
+  private def refreshBroadcasts(): Unit = {
+    // unpersist (not destroy): a cached plan from the previous run may still
+    // lazily reference the old broadcast; unpersist frees executor copies
+    // while keeping it re-shippable if such a plan is re-evaluated
+    Seq(cfgB, robotsB, budgetB, wavesB).foreach(b =>
+      if (b != null) b.unpersist())
+    cfgB = spark.sparkContext.broadcast(configs)
+    robotsB = spark.sparkContext.broadcast(robotsRules)
+    budgetB =
+      spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.hostBudgetPerStep.toLong })
+    wavesB =
+      spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.politenessWaves.toLong })
+  }
 
   /** Frontier parquet schema, pinned on every read: saves the per-generation
     * footer-sniffing schema inference (a driver-side file read per source). */
@@ -122,11 +136,27 @@ final class CrawlEngine(
   private var seqOffsets: Map[String, Long] = Map.empty
   private var bloom: SeenBloom = _
   private var configs: Map[String, CrawlConfig] = Map.empty
+  /** Sidecar-bloom cache nonce (see [[Checkpoint.newNonce]]); assigned by
+    * run()/resume() before any compaction or probe can happen. */
+  private var seenNonce: String = _
+  /** Session Hadoop conf for executor-side sidecar probes — a bare
+    * `new Configuration()` in tasks would drop `spark.hadoop.*` overlays
+    * (fs credentials, defaultFS) on a real cluster. */
+  private lazy val hadoopConfB = spark.sparkContext.broadcast(
+    new graft.core.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
 
   /** Start a fresh crawl for `jobs` over the pages corpus. */
   def run(jobs: Seq[CrawlConfig]): Report = {
     val t0 = System.currentTimeMillis()
     configs = jobs.map(c => c.jobId -> c).toMap
+    refreshBroadcasts()
+    seenNonce = ckpt.newNonce()
+    // run() means a FRESH crawl: drop every generation, bucket, bloom file
+    // and manifest a previous crawl left under this workDir — otherwise
+    // seenSources would fold a dead crawl's frontier tails into this run's
+    // dedup, and a crash before this run's first commit could resume() the
+    // dead crawl off its stale manifests.
+    ckpt.reset()
     progress = jobs.map(c => c.jobId -> JobProgress(c.jobId)).toMap
     seqOffsets = jobs.map(c => c.jobId -> 0L).toMap
     bloom = new SeenBloom(settings.bloomShards, settings.bloomExpectedPerShard, settings.bloomFpp)
@@ -159,6 +189,11 @@ final class CrawlEngine(
   def resume(jobs: Seq[CrawlConfig]): Report = {
     val t0 = System.currentTimeMillis()
     configs = jobs.map(c => c.jobId -> c).toMap
+    refreshBroadcasts()
+    // keep the nonce the original run minted — its sidecars are still valid;
+    // a missing nonce file (pre-nonce checkpoint) mints one, demoting any
+    // old sidecars to maybe-seen (correct, just unfiltered until recompaction)
+    seenNonce = ckpt.readNonce().getOrElse(ckpt.newNonce())
     val m = ckpt.lastCommitted.getOrElse(
       throw new IllegalStateException(s"no committed generation under $workDir"))
     progress = m.progress.map(p => p.jobId -> p).toMap
@@ -181,6 +216,11 @@ final class CrawlEngine(
   val compactionLog: scala.collection.mutable.ArrayBuffer[(Checkpoint.SeenBucket, Long)] =
     scala.collection.mutable.ArrayBuffer.empty
 
+  /** Supersteps whose dedup engaged the executor-side sidecar bloom probe —
+    * test-visible proof the probe path actually ran (the gating once made it
+    * silently unreachable at test batch sizes; see `useBloom`). */
+  var sidecarProbeSteps: Int = 0
+
   /** Write one seen bucket (2-column parquet), build its bloom sidecars in
     * sidecar mode, then validity-mark it. Marker last => crash-invisible. */
   private def writeSeenBucket(b: Checkpoint.SeenBucket, src: DataFrame): Unit = {
@@ -191,7 +231,7 @@ final class CrawlEngine(
     compactionLog += ((b, rows))
     if (settings.seenFilter == "sidecar") {
       graft.frontier.SidecarBlooms.buildForBucket(spark, ckpt.seenBucketPath(b),
-        settings.sidecarShards, settings.bloomFpp, rows)
+        settings.sidecarShards, settings.bloomFpp, rows, seenNonce)
     }
     ckpt.markBucket(b)
   }
@@ -747,7 +787,14 @@ final class CrawlEngine(
     // large (it kills shuffle width ahead of the exact anti-join). Below
     // `bloomMinBatch` scheduled rows the filter costs more than the shuffle
     // it saves, so small supersteps go straight to the exact anti-join.
-    val useBloom = batchCount >= settings.bloomMinBatch
+    // batchCount == -1 means the count was deferred to the write barrier
+    // (small-step plan) — gate on the previous pending total instead, the
+    // same surrogate that chose the small-step plan. Comparing the raw -1
+    // would make `bloomMinBatch = 0` (the test override that forces the
+    // sidecar probe path at test-sized batches) silently inert on every
+    // small step, leaving the probe path unexercised below prod scale.
+    val useBloom =
+      (if (batchCount >= 0L) batchCount else lastPendTotal) >= settings.bloomMinBatch
     val (seenBuckets, tailPaths) = ckpt.seenSources(gen)
     val bucketPaths = seenBuckets.map(ckpt.seenBucketPath)
     val bucketsDfOpt: Option[DataFrame] =
@@ -770,6 +817,7 @@ final class CrawlEngine(
     // buckets; before that (or below bloomMinBatch) everything goes to the
     // exact anti-join, whose right side is then only the small tail
     val sidecarProbe = settings.seenFilter == "sidecar" && useBloom && bucketPaths.nonEmpty
+    if (sidecarProbe) sidecarProbeSteps += 1
     val enqueuedTotal = progress.values.map(_.enqueued).sum
     // SMALL steps with a seen set small enough to broadcast take a
     // one-exchange expansion (same shape as the scheduling fast path):
@@ -852,8 +900,11 @@ final class CrawlEngine(
           if (sidecarProbe) {
             val bp = bucketPaths
             val sh = settings.sidecarShards
+            val nonce = seenNonce
+            val hcB = hadoopConfB
             val mightContain = udf { (jobId: String, urlNorm: String) =>
-              graft.frontier.SidecarBlooms.mightContain(bp, SeenBloom.hash64(jobId + "-" + urlNorm), sh)
+              graft.frontier.SidecarBlooms.mightContain(
+                bp, SeenBloom.hash64(jobId + "-" + urlNorm), sh, nonce, hcB.value.value)
             }
             cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
           } else if (useBloom && settings.seenFilter == "driver") {

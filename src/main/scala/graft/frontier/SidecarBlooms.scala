@@ -11,8 +11,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
  * frontier keys, ~12 GB of filter at 1% fpp) no single node can hold or
  * broadcast the seen filter; instead each seen-compaction bucket carries its
  * own filter, sharded by `hash % shards`, as files under
- * `bucket=<range>/_blooms/shard=<s>.blm` (the `_` prefix keeps parquet
- * readers from listing them, like `_SUCCESS`).
+ * `bucket=<range>/_blooms/shard=<s>.<nonce>.blm` (the `_` prefix keeps
+ * parquet readers from listing them, like `_SUCCESS`).
  *
  *  - BUILD runs executor-side during compaction: the bucket's committed
  *    parquet is shuffled by shard id (identity `HashPartitioner`, one task
@@ -23,11 +23,23 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
  *    shuffled by a shard-of-key expression (the same shuffle the in-batch
  *    dedup needs), so each task touches a handful of shards and lazily loads
  *    just those shard files per bucket, cached per-executor across
- *    supersteps (bucket dirs are immutable once marked valid).
+ *    supersteps. The cache is keyed by file path, and the path embeds the
+ *    crawl's per-workdir `nonce` — bucket dirs are immutable within one
+ *    workdir lifecycle, and the nonce changes when a workdir is deleted and
+ *    recreated, so a long-lived JVM (local mode, reused executors) can never
+ *    be served a previous crawl's filter for a recreated bucket at the same
+ *    absolute path (a stale filter could yield FALSE negatives, corrupting
+ *    dedup).
  *  - A missing sidecar file degrades to "maybe seen" (the exact anti-join
  *    still runs for positives), so filters are a pure pre-filter: false
  *    negatives are impossible by construction, false positives only cost
  *    join width.
+ *
+ * All filesystem access goes through the SESSION Hadoop configuration
+ * (shipped to tasks via [[org.apache.spark.util.SerializableConfiguration]]):
+ * a bare `new Configuration()` would drop `spark.hadoop.*` overlays — fs
+ * credentials, a non-default `fs.defaultFS` — and resolve the wrong
+ * filesystem on exactly the multi-node deployments sidecar mode exists for.
  *
  * Keys are the same 64-bit [[SeenBloom.hash64]] digests used everywhere else
  * (`putLong`/`mightContainLong` — never string inserts).
@@ -41,8 +53,8 @@ object SidecarBlooms {
     ((x % shards) + shards) % shards
   }
 
-  def shardFilePath(bucketDir: String, shard: Int): String =
-    s"$bucketDir/_blooms/shard=$shard.blm"
+  def shardFilePath(bucketDir: String, shard: Int, nonce: String): String =
+    s"$bucketDir/_blooms/shard=$shard.$nonce.blm"
 
   /**
    * Build the sidecar filters for a just-committed bucket directory.
@@ -51,9 +63,11 @@ object SidecarBlooms {
    * below the advertised one under mild shard imbalance.
    */
   def buildForBucket(spark: SparkSession, bucketDir: String, shards: Int,
-      fpp: Double, committedRows: Long): Unit = {
+      fpp: Double, committedRows: Long, nonce: String): Unit = {
     import spark.implicits._
     val expected = math.max(1024L, committedRows * 13L / 10L / shards)
+    val confB = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
     val rdd = spark.read.parquet(bucketDir)
       .select(org.apache.spark.sql.functions.concat_ws("-", $"jobId", $"urlNorm"))
       .as[String].rdd
@@ -63,11 +77,12 @@ object SidecarBlooms {
       val shard = org.apache.spark.TaskContext.getPartitionId()
       val bf = BloomFilter.create(expected, fpp)
       it.foreach { case (_, h) => bf.putLong(h) }
-      // task-side durable write (default Hadoop conf — executors on a real
-      // cluster resolve the same DFS the bucket parquet just landed on);
-      // tmp-file + rename so a killed task never leaves a torn filter
-      val conf = new Configuration()
-      val path = new HPath(shardFilePath(bucketDir, shard))
+      // task-side durable write under the session Hadoop conf (executors
+      // resolve the same DFS the bucket parquet just landed on, with the
+      // same credentials); tmp-file + rename so a killed task never leaves
+      // a torn filter
+      val conf = confB.value.value
+      val path = new HPath(shardFilePath(bucketDir, shard, nonce))
       val fs = path.getFileSystem(conf)
       val tmp = new HPath(path.getParent, s".${path.getName}.${java.util.UUID.randomUUID}.tmp")
       val out = fs.create(tmp, true)
@@ -79,9 +94,10 @@ object SidecarBlooms {
   }
 
   // ------------------------------------------------------- executor cache
-  // Bucket dirs are immutable once their _COMPACT_OK marker exists, so a
-  // path-keyed cache needs no invalidation; LRU-bounded so long-lived
-  // executors shed filters of pruned (merged-away) buckets.
+  // Keyed by sidecar file path, which embeds the crawl nonce (see class
+  // doc) — so entries for a deleted workdir can never be served to a new
+  // crawl that reuses the path. LRU-bounded so long-lived executors shed
+  // filters of pruned (merged-away) buckets and of finished crawls.
   private val MaxCached = 256
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, Option[BloomFilter]](64, 0.75f, true) {
@@ -92,14 +108,14 @@ object SidecarBlooms {
 
   /** Load (cached) the filter for `bucketDir`'s shard; None when the sidecar
     * file is absent (callers must then treat candidates as maybe-seen). */
-  def load(bucketDir: String, shard: Int): Option[BloomFilter] = {
-    val key = shardFilePath(bucketDir, shard)
+  def load(bucketDir: String, shard: Int, nonce: String, conf: Configuration): Option[BloomFilter] = {
+    val key = shardFilePath(bucketDir, shard, nonce)
     val cached = cache.get(key)
     if (cached != null) return cached
     val loaded =
       try {
         val path = new HPath(key)
-        val fs = path.getFileSystem(new Configuration())
+        val fs = path.getFileSystem(conf)
         if (!fs.exists(path)) None
         else {
           val in = fs.open(path)
@@ -112,8 +128,9 @@ object SidecarBlooms {
 
   /** Probe every bucket's shard filter for key hash `h`: true = might be
     * seen (or a filter was missing), false = definitely not in any bucket. */
-  def mightContain(bucketDirs: Seq[String], h: Long, shards: Int): Boolean = {
+  def mightContain(bucketDirs: Seq[String], h: Long, shards: Int, nonce: String,
+      conf: Configuration): Boolean = {
     val s = shardOf(h, shards)
-    bucketDirs.exists(b => load(b, s).forall(_.mightContainLong(h)))
+    bucketDirs.exists(b => load(b, s, nonce, conf).forall(_.mightContainLong(h)))
   }
 }

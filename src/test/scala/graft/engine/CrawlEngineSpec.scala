@@ -336,6 +336,10 @@ class CrawlEngineSpec extends AnyFunSuite {
     var found = 0
     blms.forEachRemaining(p => if (p.getFileName.toString.endsWith(".blm")) found += 1)
     assert(found > 0, "no bloom sidecar files written")
+    // and the probe path genuinely RAN (it was once gated unreachable at
+    // test batch sizes by the deferred-count sentinel, so this test was
+    // passing purely via the exact anti-join)
+    assert(engine.sidecarProbeSteps > 0, "sidecar probe path never engaged")
     // resume across a compaction point works with no bloom snapshot on disk
     val dirB = tmpDir("jscB")
     val cut = new CrawlEngine(spark, pagesDf, dirB, Map.empty, sSide.copy(maxGenerations = 4))
@@ -345,6 +349,22 @@ class CrawlEngineSpec extends AnyFunSuite {
     assertTraceEqual(engineTrace(resumed), oracle.trace)
     val seenB = resumed.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(seenB == oracle.seen)
+  }
+
+  test("engine reuse: a second run() on the same instance uses the SECOND run's configs and state") {
+    val dir = tmpDir("jreuse")
+    val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+    engine.run(Seq(CrawlConfig("jr-one", Seq("https://host0.example.test/p0.html"), limit = 10)))
+    // second run on the SAME engine+workDir: a fresh jobId (a stale config
+    // broadcast threw NoSuchElementException in the extract pass) and a
+    // different limit (a stale budget broadcast would schedule 10, not 25);
+    // the first run's frontier tails must not leak into this run's dedup
+    val cfg2 = CrawlConfig("jr-two", Seq("https://host1.example.test/p0.html"), limit = 25)
+    engine.run(Seq(cfg2))
+    val oracle2 = SequentialOracle.crawl(pagesByNorm, Seq(cfg2))
+    assertTraceEqual(engineTrace(engine), oracle2.trace)
+    val seen = engine.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seen == oracle2.seen)
   }
 
   test("leveled compaction: 64+ generation horizon, per-merge cost bounded by level size") {

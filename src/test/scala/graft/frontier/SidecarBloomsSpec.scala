@@ -31,11 +31,13 @@ class SidecarBloomsSpec extends AnyFunSuite {
       .select(lit("job").as("jobId"), concat(lit("https://h.example.test/p"), $"id").as("urlNorm"))
       .repartition(8)
       .write.parquet(bucketDir)
-    SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01, committedRows = n.toLong)
+    SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01,
+      committedRows = n.toLong, nonce = "t0")
+    val hconf = spark.sessionState.newHadoopConf()
 
     // one sidecar file per shard, each a fraction of the whole filter
     val sizes = (0 until shards).map { s =>
-      val p = Paths.get(SidecarBlooms.shardFilePath(bucketDir, s))
+      val p = Paths.get(SidecarBlooms.shardFilePath(bucketDir, s, "t0"))
       assert(Files.exists(p), s"missing sidecar for shard $s")
       Files.size(p)
     }
@@ -48,7 +50,7 @@ class SidecarBloomsSpec extends AnyFunSuite {
     var misses = 0
     while (i < n) {
       val h = SeenBloom.hash64("job-https://h.example.test/p" + i)
-      if (!SidecarBlooms.mightContain(dirs, h, shards)) misses += 1
+      if (!SidecarBlooms.mightContain(dirs, h, shards, "t0", hconf)) misses += 1
       i += 1
     }
     assert(misses == 0, s"$misses bloom false negatives")
@@ -59,7 +61,7 @@ class SidecarBloomsSpec extends AnyFunSuite {
     i = 0
     while (i < absentN) {
       val h = SeenBloom.hash64("job-https://absent.example.test/q" + i)
-      if (SidecarBlooms.mightContain(dirs, h, shards)) fp += 1
+      if (SidecarBlooms.mightContain(dirs, h, shards, "t0", hconf)) fp += 1
       i += 1
     }
     assert(fp.toDouble / absentN < 0.03, s"fpp ${fp.toDouble / absentN} over budget")
@@ -69,6 +71,40 @@ class SidecarBloomsSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("sidecar-missing").toString + "/bucket=0-1-L0"
     Files.createDirectories(Paths.get(dir))
     // no _blooms written at all -> every probe must answer maybe
-    assert(SidecarBlooms.mightContain(Seq(dir), 12345L, 8))
+    assert(SidecarBlooms.mightContain(Seq(dir), 12345L, 8, "t0",
+      spark.sessionState.newHadoopConf()))
+  }
+
+  test("nonce keys the executor cache: a recreated bucket at the same path is never served stale") {
+    import spark.implicits._
+    val shards = 4
+    val root = Files.createTempDirectory("sidecar-reuse").toString
+    val bucketDir = root + "/bucket=0-0-L0"
+    val hconf = spark.sessionState.newHadoopConf()
+    def build(keyPrefix: String, nonce: String): Unit = {
+      // recreate the SAME absolute bucket path with DIFFERENT keys
+      val f = new java.io.File(bucketDir)
+      def rm(x: java.io.File): Unit = { Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit }
+      rm(f)
+      spark.range(5000)
+        .select(lit("job").as("jobId"), concat(lit(keyPrefix), $"id").as("urlNorm"))
+        .repartition(2).write.parquet(bucketDir)
+      SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01,
+        committedRows = 5000L, nonce = nonce)
+    }
+    build("https://a.example.test/p", "run1")
+    // populate the JVM-global cache with run1's filters
+    (0 until 5000).foreach { i =>
+      assert(SidecarBlooms.mightContain(Seq(bucketDir), SeenBloom.hash64("job-https://a.example.test/p" + i), shards, "run1", hconf))
+    }
+    // delete + recreate the bucket at the same path with run2's keys: with a
+    // path-only cache key the stale run1 filter would answer "definitely
+    // not" for run2 keys (false negatives); the nonce makes that impossible
+    build("https://b.example.test/q", "run2")
+    var misses = 0
+    (0 until 5000).foreach { i =>
+      if (!SidecarBlooms.mightContain(Seq(bucketDir), SeenBloom.hash64("job-https://b.example.test/q" + i), shards, "run2", hconf)) misses += 1
+    }
+    assert(misses == 0, s"$misses stale-cache false negatives after bucket recreation")
   }
 }
