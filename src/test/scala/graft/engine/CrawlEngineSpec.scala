@@ -481,6 +481,42 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: 4 random MULTI-job batches match the sequential oracle (trace+seen+progress)") {
+    // the single-job fuzz can't see cross-job interference: jobs share each
+    // superstep's scheduling/expansion/dedup passes but budgets, caps, wave
+    // batching and seen-sets are all job-scoped. Random 2-3 job batches with
+    // overlapping seed spaces must still agree with the oracle per job.
+    val rnd = new scala.util.Random(20260818L + 1)
+    val strategies = Seq("all", "same-domain", "same-hostname", "same-origin")
+    (0 until 4).foreach { k =>
+      val nJobs = 2 + rnd.nextInt(2)
+      val cfgs = (0 until nJobs).map { j =>
+        CrawlConfig(
+          jobId = s"mfz$k-$j",
+          seeds = Seq(corpusRows(rnd.nextInt(corpusRows.size)).url),
+          strategy = strategies(rnd.nextInt(strategies.size)),
+          maxDepth = 1 + rnd.nextInt(8),
+          limit = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(60),
+          hostBudgetPerStep = if (rnd.nextBoolean()) Int.MaxValue else 1 + rnd.nextInt(6),
+          politenessWaves = 1 + rnd.nextInt(4))
+      }
+      val dir = tmpDir(s"mfz$k")
+      val engine = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+      engine.run(cfgs)
+      val oracle = SequentialOracle.crawl(pagesByNorm, cfgs)
+      assertTraceEqual(engineTrace(engine), oracle.trace)
+      val engineSeen = engine.seenSet().collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(engineSeen == oracle.seen, s"seen mismatch at draw $k cfgs=$cfgs")
+      cfgs.foreach { c =>
+        val p = engine.finalProgress(c.jobId)
+        val op = oracle.progress(c.jobId)
+        assert((p.enqueued, p.done, p.succeeded, p.failed) ==
+          ((op.enqueued, op.done, op.succeeded, op.failed)),
+          s"progress mismatch at draw $k job=${c.jobId} cfgs=$cfgs")
+      }
+    }
+  }
+
   test("multi-job crawl keeps jobs independent") {
     val cfgA = CrawlConfig("jA", Seq("https://host0.example.test/p0.html"), limit = 10)
     val cfgB = CrawlConfig("jB", Seq("https://host2.example.test/p0.html"),
