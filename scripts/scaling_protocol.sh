@@ -1,0 +1,46 @@
+#!/bin/bash
+# N->4N scaling protocol runner (BENCH.md "Reproduce"): three interleaved
+# rounds of 2 -> 8 -> 32 cores, direct java (no sbt JVM in the measured
+# window), ParallelGC, tmpfs checkpoints. Prints one JSON line per sample.
+#
+# Prereqs:  sbt -batch package
+#           $0 prep          # once: generate the 100k-page wide corpus
+# Run:      $0               # the 3x3 protocol (~25 min on an idle box)
+# Health:   $0 probe         # one 8-core sample (~3 min; healthy ~2000 URLs/s)
+#
+# Box discipline (BENCH.md "re-run under host contention"): run ONLY on an
+# idle box — probe first, never run sbt/tests concurrently with samples.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+JAR=target/scala-2.13/anycrawlspark_2.13-0.1.0.jar
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+run_java() {
+  # shellcheck disable=SC2086
+  java $ADD_OPENS -XX:+UseParallelGC -Xmx48g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$JAR:/opt/spark/jars/*" "$@"
+}
+
+case "${1:-protocol}" in
+  prep)
+    SPARK_GRAFT_SHUFFLE=128 run_java graft.ScalingBench prep 100000 64 ;;
+  probe)
+    SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run 8 2>/dev/null | tail -1 ;;
+  protocol)
+    for r in 1 2 3; do
+      for c in 2 8 32; do
+        line=$(SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run "$c" 2>/dev/null | tail -1)
+        echo "{\"round\":$r,${line#\{}"
+      done
+    done ;;
+  *) echo "usage: $0 [prep|probe|protocol]" >&2; exit 2 ;;
+esac
