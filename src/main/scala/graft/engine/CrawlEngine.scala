@@ -83,6 +83,12 @@ final class CrawlEngine(
     * it (first superstep pays the load lazily). */
   def prepare(): Unit = { pagesPrepared.count(): Unit }
 
+  // Robots as a broadcast dimension is the north-star design (BASELINE
+  // "robots.txt caching as a broadcast dimension"; SURVEY J3/C3). Sizing: a
+  // parsed RobotRules is ~100s of bytes, so even 10^7 distinct hosts fit a
+  // single-GB broadcast; past that the same filter becomes a broadcast-hash
+  // left join of the frontier with a robots(host, rules) table — a config
+  // flip of the source, not a redesign.
   private val robotsRules: Map[String, Robots.RobotRules] =
     robotsBodies.map { case (h, b) => (h, Robots.parse(b)) }
 
