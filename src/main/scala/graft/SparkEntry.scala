@@ -43,6 +43,19 @@ object SparkEntry {
     * returning the canonical crawl trace. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = crawlTrace(spark, 300, 6, limit = 200)
 
+  // crawl-fixture workdirs alive in this JVM (see cleanup note in crawlTrace)
+  private val liveCrawlWorkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val crawlWorkDirHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => reapCrawlWorkDirs()))
+  private def reapCrawlWorkDirs(): Unit = {
+    crawlWorkDirHook
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    var d = liveCrawlWorkDirs.poll()
+    while (d != null) { rm(new java.io.File(d)); d = liveCrawlWorkDirs.poll() }
+  }
+
   private def crawlTrace(spark: SparkSession, pages: Int, hosts: Int, limit: Int): DataFrame = {
     import spark.implicits._
     // corpus generated EXECUTOR-side from the flat index (the 100 TB shape:
@@ -69,15 +82,13 @@ object SparkEntry {
        else java.nio.file.Files.createTempDirectory("graft-crawl")).toString
     // tmpfs is RAM and survives JVM exit: without cleanup every Bench/Verify
     // invocation would permanently leak a full crawl checkpoint into /dev/shm
-    // (the exact host-contention noise BENCH.md documents). A shutdown hook
-    // (not an eager delete) because the returned trace() reads the workdir
-    // parquet lazily — it must stay alive until the caller's action runs.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(work))
-    }))
+    // (the exact host-contention noise BENCH.md documents). The returned
+    // trace() reads the workdir parquet lazily, so the CURRENT workdir must
+    // outlive this call — each invocation instead reaps all PREVIOUS
+    // invocations' workdirs (Bench/Verify consume each trace before asking
+    // for the next), and one static shutdown hook reaps the last.
+    reapCrawlWorkDirs()
+    liveCrawlWorkDirs.add(work)
     val eng = new CrawlEngine(spark, pagesDf, work,
       robotsBodies = graft.fixtures.SiteGen.robotsRows(hosts).toMap,
       settings = CrawlEngine.Settings(bloomExpectedPerShard = 100000L))

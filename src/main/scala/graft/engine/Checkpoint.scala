@@ -179,8 +179,12 @@ final class Checkpoint(workDir: String) {
   /** Fresh-start cleanup for run(): delete ALL committed state a previous
     * crawl left under this workDir — manifests included, else a crash before
     * this run's first commit followed by resume() would resurrect the dead
-    * crawl. Cancel markers are kept (a cancel racing the start of the run
-    * must still take effect at the first barrier). */
+    * crawl. Cancel markers are DELIBERATELY kept: cancellation is durable
+    * per jobId, like the reference's jobs-table status (a cancelled job id
+    * stays cancelled; re-running work means a NEW job id) — and a cancel
+    * racing the start of the run still takes effect at the first barrier.
+    * Consequence, pinned by CrawlEngineSpec: run() with a previously
+    * cancelled jobId over the same workDir finalizes immediately. */
   def reset(): Unit = {
     Seq("manifest", "bloom", "frontier", "results", "seen").foreach { sub =>
       val dir = Paths.get(s"$workDir/$sub")

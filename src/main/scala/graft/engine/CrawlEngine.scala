@@ -237,7 +237,7 @@ final class CrawlEngine(
     compactionLog += ((b, rows))
     if (settings.seenFilter == "sidecar") {
       graft.frontier.SidecarBlooms.buildForBucket(spark, ckpt.seenBucketPath(b),
-        settings.sidecarShards, settings.bloomFpp, rows, seenNonce)
+        settings.sidecarShards, settings.bloomFpp, rows, seenNonce, hadoopConfB)
     }
     ckpt.markBucket(b)
   }

@@ -36,10 +36,12 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
  *    join width.
  *
  * All filesystem access goes through the SESSION Hadoop configuration
- * (shipped to tasks via [[org.apache.spark.util.SerializableConfiguration]]):
+ * (shipped to tasks via a broadcast [[graft.core.SerializableHadoopConf]]):
  * a bare `new Configuration()` would drop `spark.hadoop.*` overlays — fs
  * credentials, a non-default `fs.defaultFS` — and resolve the wrong
  * filesystem on exactly the multi-node deployments sidecar mode exists for.
+ * The caller owns the broadcast (one per engine run, not one per bucket
+ * build — the leveled compactor builds dozens of buckets per long crawl).
  *
  * Keys are the same 64-bit [[SeenBloom.hash64]] digests used everywhere else
  * (`putLong`/`mightContainLong` — never string inserts).
@@ -63,11 +65,10 @@ object SidecarBlooms {
    * below the advertised one under mild shard imbalance.
    */
   def buildForBucket(spark: SparkSession, bucketDir: String, shards: Int,
-      fpp: Double, committedRows: Long, nonce: String): Unit = {
+      fpp: Double, committedRows: Long, nonce: String,
+      confB: org.apache.spark.broadcast.Broadcast[graft.core.SerializableHadoopConf]): Unit = {
     import spark.implicits._
     val expected = math.max(1024L, committedRows * 13L / 10L / shards)
-    val confB = spark.sparkContext.broadcast(
-      new graft.core.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
     val rdd = spark.read.parquet(bucketDir)
       .select(org.apache.spark.sql.functions.concat_ws("-", $"jobId", $"urlNorm"))
       .as[String].rdd

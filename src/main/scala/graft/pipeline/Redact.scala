@@ -33,15 +33,21 @@ object Redact {
   private def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
-  /** Count of each PII class found in `text`. Phones are counted on
-    * IP-masked text: `PhoneRe` also matches a dotted IPv4 whose last three
-    * octets happen to be 3 digits (e.g. `192.168.100.200`), and such a span
-    * is an IP, not a phone — masking IPs first keeps the two counts
-    * disjoint, mirroring `scrub`'s replacement order. */
+  /** Count of each PII class found in `text`. Each count runs on text with
+    * the EARLIER scrub classes already masked (email -> IP -> phone), so
+    * the counts are disjoint and sum to the number of spans `scrub`
+    * replaces: `PhoneRe` also matches a dotted IPv4 whose last three octets
+    * happen to be 3 digits (`192.168.100.200`) and digit runs inside an
+    * email's local part (`1-555-123-4567@y.com`); `Ipv4Re` matches dotted
+    * quads inside email local parts. Counting each class on the
+    * already-masked text mirrors exactly what scrub tags each span as. */
   def emailCount(text: Column): Column = countMatches(text, EmailRe)
+  def ipv4Count(text: Column): Column =
+    countMatches(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re)
   def phoneCount(text: Column): Column =
-    countMatches(regexp_replace(text, Ipv4Re, "<IP>"), PhoneRe)
-  def ipv4Count(text: Column): Column = countMatches(text, Ipv4Re)
+    countMatches(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      PhoneRe)
 
   /** Scrubbed text: emails, then IPs, then phones, replaced by typed
     * placeholders. Order matters twice over: emails can contain digit runs,

@@ -176,7 +176,9 @@ object TextAnalysis {
     * lines = split on '\n', trim SPACES ONLY (Spark `trim` = ASCII 32),
     * drop empties; dup = 1 - distinct/total. words = lower(text) split on
     * java-regex `\s+`, drop empties; top = max bigram multiplicity /
-    * (words-1). Zero for empty/one-line/one-word docs. */
+    * (words-1). Zero for empty/one-line/one-word docs; null text stays
+    * null (the UDF wrapper handles it — callers of the kernel itself get
+    * zeros, matching a missing doc). */
   private[pipeline] def gopherStatsKernel(text: String): GopherStats = {
     if (text == null) return GopherStats(0.0, 0.0)
     // dup-line fraction: manual '\n' walk, no regex, no array materialized
@@ -198,9 +200,14 @@ object TextAnalysis {
       else 0.0
     // top-bigram fraction: tokenize the lowered text, count bigram
     // multiplicity in a hash map (== the max equal-run of the old
-    // sort_array fold). No-arg toLowerCase mirrors UTF8String.toLowerCase
-    // (ASCII fast path, else platform-default String.toLowerCase).
-    val lowered = text.toLowerCase
+    // sort_array fold). Lowercasing mirrors UTF8String.toLowerCase EXACTLY
+    // (verified against the 4.1.2 bytecode): a locale-independent A-Z map
+    // for full-ASCII strings, else platform-default String.toLowerCase —
+    // a plain no-arg toLowerCase would diverge from Spark's lower() on
+    // all-ASCII text under tr/az default locales (I -> dotless ı).
+    val lowered =
+      if (isFullAscii(text)) lowerAscii(text)
+      else text.toLowerCase
     @inline def isWs(c: Char): Boolean = // java regex \s = [ \t\n\x0B\f\r]
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     val m = lowered.length
@@ -229,7 +236,30 @@ object TextAnalysis {
     GopherStats(dup, top)
   }
 
-  private val gopherStatsUdf = udf(gopherStatsKernel _)
+  private def isFullAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
+  private def lowerAscii(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == s.length) return s
+    val a = s.toCharArray
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  // null in -> null out, like the Column originals (a null-text row must
+  // keep evaluating gopherKeep to null, i.e. be DROPPED by a filter — the
+  // kernel's zeros would silently flip it to kept)
+  private val gopherStatsUdf =
+    udf { (t: String) => if (t == null) null else gopherStatsKernel(t) }
 
   /** Both stats as a struct column `(dup, top)` — compute ONCE per row and
     * getField when a caller needs both (CSE dedups identical deterministic

@@ -284,6 +284,14 @@ class CrawlEngineSpec extends AnyFunSuite {
     // GET /v1/crawl/:jobId/status analog reads the manifest
     val st = graft.api.Graft.status(dir, "jcxl")
     assert(st.exists(s => s.done == before.toLong))
+    // cancellation is DURABLE per jobId (reference: the jobs-table status —
+    // re-running work means a NEW job id): a fresh run() over the same
+    // workDir with the cancelled id finalizes at the first barrier, while a
+    // new jobId in the same workDir crawls normally
+    val rerun = new CrawlEngine(spark, pagesDf, dir, Map.empty, settings)
+    rerun.run(Seq(cfg, cfg.copy(jobId = "jcxl2")))
+    assert(rerun.finalProgress("jcxl").finalizeReason == "cancelled")
+    assert(rerun.finalProgress("jcxl2").succeeded > 0)
   }
 
   test("seen compaction: trace/seen unchanged, resume across a compaction point") {

@@ -31,9 +31,10 @@ class SidecarBloomsSpec extends AnyFunSuite {
       .select(lit("job").as("jobId"), concat(lit("https://h.example.test/p"), $"id").as("urlNorm"))
       .repartition(8)
       .write.parquet(bucketDir)
-    SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01,
-      committedRows = n.toLong, nonce = "t0")
     val hconf = spark.sessionState.newHadoopConf()
+    val confB = spark.sparkContext.broadcast(new graft.core.SerializableHadoopConf(hconf))
+    SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01,
+      committedRows = n.toLong, nonce = "t0", confB = confB)
 
     // one sidecar file per shard, each a fraction of the whole filter
     val sizes = (0 until shards).map { s =>
@@ -90,7 +91,8 @@ class SidecarBloomsSpec extends AnyFunSuite {
         .select(lit("job").as("jobId"), concat(lit(keyPrefix), $"id").as("urlNorm"))
         .repartition(2).write.parquet(bucketDir)
       SidecarBlooms.buildForBucket(spark, bucketDir, shards, fpp = 0.01,
-        committedRows = 5000L, nonce = nonce)
+        committedRows = 5000L, nonce = nonce,
+        confB = spark.sparkContext.broadcast(new graft.core.SerializableHadoopConf(hconf)))
     }
     build("https://a.example.test/p", "run1")
     // populate the JVM-global cache with run1's filters

@@ -223,6 +223,11 @@ class PipelineSpec extends AnyFunSuite {
       .where($"kd" =!= $"ed" || $"kt" =!= $"et")
       .count()
     assert(diff == 0L, s"$diff fuzzed docs diverge between kernel and Column originals")
+    // null text stays null (a filter must DROP a null-text row, as the
+    // Column originals did — zeros would silently keep it)
+    val nulls = Seq((1L, null: String), (2L, "a a a a")).toDF("doc_id", "text")
+    assert(nulls.where(TextAnalysis.gopherKeep($"text")).count() == 0L)
+    assert(nulls.where(TextAnalysis.dupLineFrac($"text").isNull).count() == 1L)
   }
 
   test("stratified sampling: deterministic, rate-accurate, monotone in rate") {
@@ -261,7 +266,8 @@ class PipelineSpec extends AnyFunSuite {
       (4L, "version 1.2.3.4567 is not an ip, 3.14 is pi"),      // lookahead blocks
       (5L, "the year 555 1234 is not a phone (two groups only)"),
       (6L, "clean text with no pii at all"),
-      (7L, "ping 192.168.100.200 now")  // dotted quad PhoneRe would also match: IP wins, no double count
+      (7L, "ping 192.168.100.200 now"),  // dotted quad PhoneRe would also match: IP wins, no double count
+      (8L, "mail 1-555-123-4567@y.com ok") // phone-shaped local part: EMAIL wins, no phone count
     ).toDF("doc_id", "text")
     val out = docs.select($"doc_id",
         Redact.emailCount($"text").as("e"),
@@ -272,12 +278,14 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int, String)].collect().toSeq
     assert(out.map(r => (r._1, r._2, r._3, r._4)) == Seq(
       (1L, 2, 0, 0), (2L, 0, 1, 0), (3L, 0, 0, 2),
-      (4L, 0, 0, 0), (5L, 0, 0, 0), (6L, 0, 0, 0), (7L, 0, 0, 1)))
+      (4L, 0, 0, 0), (5L, 0, 0, 0), (6L, 0, 0, 0), (7L, 0, 0, 1),
+      (8L, 1, 0, 0)))
     assert(out(0)._5 == "mail me at <EMAIL> or <EMAIL> thanks")
     assert(out(1)._5 == "call <PHONE> and also 020-7946-0958")
     assert(out(2)._5 == "server at <IP> port 80, peer <IP>")
     assert(out(5)._5 == "clean text with no pii at all")
     assert(out(6)._5 == "ping <IP> now")
+    assert(out(7)._5 == "mail <EMAIL> ok")
   }
 
   test("curate: first-drop-stage attribution across all four stages") {
