@@ -87,7 +87,14 @@ object ScalingBench {
       hostBudgetPerStep = Int.MaxValue,                    // politeness unbound (see BENCH.md)
       formats = graft.core.Extractor.Formats(html = false)) // markdown+text+links (scrape default)
     val eng = new CrawlEngine(spark, pages, work,
-      settings = CrawlEngine.Settings(bloomShards = 8, bloomExpectedPerShard = 1000000L))
+      settings = CrawlEngine.Settings(bloomShards = 8, bloomExpectedPerShard = 1000000L,
+        // SPARK_GRAFT_SEEN=sidecar runs the 1e10-deployment seen-set shape
+        // (per-bucket bloom sidecars probed executor-locally, no driver
+        // filter) on the same corpus, so the two modes are A/B-comparable
+        seenFilter = sys.env.getOrElse("SPARK_GRAFT_SEEN", "driver"),
+        // probing needs buckets to exist: compact eagerly in sidecar mode
+        compactEvery = if (sys.env.get("SPARK_GRAFT_SEEN").contains("sidecar")) 2 else 8,
+        bloomMinBatch = if (sys.env.get("SPARK_GRAFT_SEEN").contains("sidecar")) 0L else 65536L))
     eng.prepare() // corpus load = warehouse state, not crawl throughput
     val t0 = System.nanoTime()
     val report = eng.run(Seq(cfg))
