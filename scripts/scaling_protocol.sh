@@ -35,6 +35,13 @@ case "${1:-protocol}" in
     SPARK_GRAFT_SHUFFLE=128 run_java graft.ScalingBench prep 100000 64 ;;
   probe)
     SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run 8 2>/dev/null | tail -1 ;;
+  ab)
+    # seen-filter A/B at 8 cores: the 1e10-deployment sidecar shape vs the
+    # driver-resident filter, same corpus, back-to-back (BENCH.md section)
+    for mode in sidecar driver; do
+      line=$(SPARK_GRAFT_SEEN=$mode SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run 8 2>/dev/null | tail -1)
+      echo "{\"seen\":\"$mode\",${line#\{}"
+    done ;;
   protocol)
     for r in 1 2 3; do
       for c in 2 8 32; do
