@@ -95,11 +95,17 @@ object SparkEntry {
     eng.run(Seq(CrawlConfig(
       jobId = "flagship", seeds = Seq(graft.fixtures.SiteGen.pageUrl(0, 0)),
       strategy = "all", maxDepth = 12, limit = limit,
-      // politeness epoch = 64/host/wave; 8 waves batched per committed
+      // politeness epoch = 256/host/wave; 8 waves batched per committed
       // superstep (commit cadence decoupled from politeness cadence —
-      // CrawlConfig.politenessWaves). Trace equality at waves>1 is oracled
-      // in CrawlEngineSpec alongside the waves=1 canonical fixture.
-      hostBudgetPerStep = 64, politenessWaves = 8, respectRobots = true)))
+      // CrawlConfig.politenessWaves). The machinery runs every superstep but
+      // the budget never BINDS at either verify-able shape (per-host
+      // per-depth frontiers stay < 256 at sf0.01 AND sf0.1), which is what
+      // keeps the DuckDB oracle a plain depth-unrolled BFS at both scales —
+      // at 64 it split host waves at sf0.1 and the order left plain-BFS.
+      // Budget-BINDING schedules (waves splitting, deferral across
+      // supersteps) are trace-oracled in CrawlEngineSpec (hot-host test,
+      // scheduler fuzz, canonical fixture).
+      hostBudgetPerStep = 256, politenessWaves = 8, respectRobots = true)))
     eng.trace()
   }
 
@@ -833,62 +839,83 @@ object SparkEntry {
    * SequentialOracle trace equality and the committed canonical fixture.
    */
   private def q24OracleSql: String = {
-    val limit = 100
+    // one BFS body per verify-able scale factor, branch-selected at runtime
+    // on the documents row count (500 at sf0.01, 5000 at sf0.1) — the Spark
+    // side sizes the crawl as max(200, sf*20000), so the oracle must follow;
+    // at both shapes the politeness budget (64x8 waves/host) never defers,
+    // which is what makes the fixpoint a plain depth-unrolled BFS. Other SFs
+    // are not oracle-covered (the driver verifies at sf0.01).
+    val a = q24BfsCtes(pages = 200, suffix = "a")
+    val b = q24BfsCtes(pages = 2000, suffix = "b")
+    s"""WITH ${a._1},
+       |${b._1}
+       |${q24Select("a", a._2, "(SELECT count(*) FROM documents) = 500")}
+       |UNION ALL
+       |${q24Select("b", b._2, "(SELECT count(*) FROM documents) = 5000")}
+       |ORDER BY jobId, seq""".stripMargin
+  }
+
+  /** One branch's final projection (see [[q24OracleSql]]). */
+  private def q24Select(suffix: String, maxDepth: Int, guard: String): String =
+    s"""SELECT 'flagship' AS jobId, seq,
+       |  'https://host' || h || '.example.test/p' || j || '.html' AS url,
+       |  'https://host' || h || '.example.test/p' || j || '.html' AS urlNorm,
+       |  CAST(depth AS INTEGER) AS depth, CAST(0 AS INTEGER) AS attempt,
+       |  CAST(200 AS INTEGER) AS status, TRUE AS success, TRUE AS terminal,
+       |  CAST(depth AS INTEGER) AS generation
+       |FROM seen$maxDepth$suffix WHERE $guard""".stripMargin
+
+  /** The depth-unrolled BFS CTE chain for a `pages`-page 8-host SiteGen
+    * corpus, all CTE names suffixed so two shapes can share one WITH clause.
+    * Returns (cteSql, maxDepth). */
+  private def q24BfsCtes(pages: Int, suffix: String): (String, Int) = {
+    val limit = pages / 2
     val maxDepth = 12
-    val sizes = graft.fixtures.SiteGen.hostSizes(200, 8)
+    val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
     val sizeValues = sizes.zipWithIndex.map { case (n, h) => s"($h,$n)" }.mkString(",")
     val sb = new StringBuilder
     sb.append(
-      s"""WITH pages AS (
+      s"""pages$suffix AS (
          |  SELECT s.h AS h, CAST(t.j AS BIGINT) AS j, s.n AS n
          |  FROM (VALUES $sizeValues) s(h,n),
          |       LATERAL (SELECT unnest(range(s.n)) AS j) t
          |),
-         |e0 AS (
+         |e0$suffix AS (
          |  SELECT h, j, dh, dj, CAST(row_number() OVER (PARTITION BY h, j ORDER BY ord) - 1 AS BIGINT) AS idx
          |  FROM (
-         |    SELECT h, j, h AS dh, CAST(0 AS BIGINT) AS dj, 0 AS ord FROM pages
-         |    UNION ALL SELECT h, j, h, 2*j+1, 1 FROM pages WHERE 2*j+1 < n
-         |    UNION ALL SELECT h, j, h, 2*j+2, 2 FROM pages WHERE 2*j+2 < n
-         |    UNION ALL SELECT h, j, h, (j-1)//2, 3 FROM pages WHERE j >= 3
-         |    UNION ALL SELECT h, j, (h + j//3) % ${sizes.length}, 0, 4 FROM pages
+         |    SELECT h, j, h AS dh, CAST(0 AS BIGINT) AS dj, 0 AS ord FROM pages$suffix
+         |    UNION ALL SELECT h, j, h, 2*j+1, 1 FROM pages$suffix WHERE 2*j+1 < n
+         |    UNION ALL SELECT h, j, h, 2*j+2, 2 FROM pages$suffix WHERE 2*j+2 < n
+         |    UNION ALL SELECT h, j, h, (j-1)//2, 3 FROM pages$suffix WHERE j >= 3
+         |    UNION ALL SELECT h, j, (h + j//3) % ${sizes.length}, 0, 4 FROM pages$suffix
          |      WHERE j % 3 = 0 AND j > 0 AND (h + j//3) % ${sizes.length} <> h
          |  )
          |),
-         |edges AS MATERIALIZED (
-         |  SELECT * FROM e0 WHERE NOT (dh = 1 AND (dj IN (1, 3) OR dj BETWEEN 30 AND 39))
+         |edges$suffix AS MATERIALIZED (
+         |  SELECT * FROM e0$suffix WHERE NOT (dh = 1 AND (dj IN (1, 3) OR dj BETWEEN 30 AND 39))
          |),
-         |lvl0 AS (SELECT 0 AS h, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS seq, 0 AS depth),
-         |seen0 AS MATERIALIZED (SELECT * FROM lvl0)""".stripMargin)
+         |lvl0$suffix AS (SELECT 0 AS h, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS seq, 0 AS depth),
+         |seen0$suffix AS MATERIALIZED (SELECT * FROM lvl0$suffix)""".stripMargin)
     (1 to maxDepth).foreach { d =>
       val p = d - 1
       sb.append(
         s""",
-           |lvl$d AS MATERIALIZED (
-           |  SELECT h, j, (SELECT max(seq) FROM seen$p) + rn AS seq, $d AS depth
+           |lvl$d$suffix AS MATERIALIZED (
+           |  SELECT h, j, (SELECT max(seq) FROM seen$p$suffix) + rn AS seq, $d AS depth
            |  FROM (
            |    SELECT h, j, row_number() OVER (ORDER BY prio) AS rn
            |    FROM (
            |      SELECT e.dh AS h, e.dj AS j, min(l.seq * 4096 + e.idx) AS prio
-           |      FROM lvl$p l JOIN edges e ON e.h = l.h AND e.j = l.j
-           |      WHERE NOT EXISTS (SELECT 1 FROM seen$p s WHERE s.h = e.dh AND s.j = e.dj)
+           |      FROM lvl$p$suffix l JOIN edges$suffix e ON e.h = l.h AND e.j = l.j
+           |      WHERE NOT EXISTS (SELECT 1 FROM seen$p$suffix s WHERE s.h = e.dh AND s.j = e.dj)
            |      GROUP BY e.dh, e.dj
            |    )
            |  )
-           |  WHERE (SELECT max(seq) FROM seen$p) + rn <= ${limit - 1}
+           |  WHERE (SELECT max(seq) FROM seen$p$suffix) + rn <= ${limit - 1}
            |),
-           |seen$d AS MATERIALIZED (SELECT * FROM seen$p UNION ALL SELECT * FROM lvl$d)""".stripMargin)
+           |seen$d$suffix AS MATERIALIZED (SELECT * FROM seen$p$suffix UNION ALL SELECT * FROM lvl$d$suffix)""".stripMargin)
     }
-    sb.append(
-      s"""
-         |SELECT 'flagship' AS jobId, seq,
-         |  'https://host' || h || '.example.test/p' || j || '.html' AS url,
-         |  'https://host' || h || '.example.test/p' || j || '.html' AS urlNorm,
-         |  CAST(depth AS INTEGER) AS depth, CAST(0 AS INTEGER) AS attempt,
-         |  CAST(200 AS INTEGER) AS status, TRUE AS success, TRUE AS terminal,
-         |  CAST(depth AS INTEGER) AS generation
-         |FROM seen$maxDepth ORDER BY jobId, seq""".stripMargin)
-    sb.toString
+    (sb.toString, maxDepth)
   }
 
   // --------------------------------------------------------------- oracles
