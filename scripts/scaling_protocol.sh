@@ -34,7 +34,9 @@ case "${1:-protocol}" in
   prep)
     SPARK_GRAFT_SHUFFLE=128 run_java graft.ScalingBench prep 100000 64 ;;
   probe)
-    SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run 8 2>/dev/null | tail -1 ;;
+    # seen mode pinned: a stray `export SPARK_GRAFT_SEEN=sidecar` from an ab
+    # session must not leak into health probes or the protocol of record
+    SPARK_GRAFT_SEEN=driver SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run 8 2>/dev/null | tail -1 ;;
   ab)
     # seen-filter A/B at 8 cores: the 1e10-deployment sidecar shape vs the
     # driver-resident filter, same corpus, back-to-back (BENCH.md section)
@@ -45,9 +47,9 @@ case "${1:-protocol}" in
   protocol)
     for r in 1 2 3; do
       for c in 2 8 32; do
-        line=$(SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run "$c" 2>/dev/null | tail -1)
+        line=$(SPARK_GRAFT_SEEN=driver SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run "$c" 2>/dev/null | tail -1)
         echo "{\"round\":$r,${line#\{}"
       done
     done ;;
-  *) echo "usage: $0 [prep|probe|protocol]" >&2; exit 2 ;;
+  *) echo "usage: $0 [prep|probe|protocol|ab]" >&2; exit 2 ;;
 esac

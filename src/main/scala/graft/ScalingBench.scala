@@ -86,22 +86,29 @@ object ScalingBench {
       strategy = "all", maxDepth = 20, limit = 0,          // unbounded: crawl it all
       hostBudgetPerStep = Int.MaxValue,                    // politeness unbound (see BENCH.md)
       formats = graft.core.Extractor.Formats(html = false)) // markdown+text+links (scrape default)
+    // SPARK_GRAFT_SEEN=sidecar runs the 1e10-deployment seen-set shape
+    // (per-bucket bloom sidecars probed executor-locally, no driver filter)
+    // on the same corpus, so the two modes are A/B-comparable. Validated
+    // here so a typo fails loudly instead of silently configuring a third,
+    // meaningless mode (neither filter engaged, everything exact-anti-join).
+    val seenMode = sys.env.getOrElse("SPARK_GRAFT_SEEN", "driver")
+    require(seenMode == "driver" || seenMode == "sidecar",
+      s"SPARK_GRAFT_SEEN must be 'driver' or 'sidecar', got '$seenMode'")
     val eng = new CrawlEngine(spark, pages, work,
       settings = CrawlEngine.Settings(bloomShards = 8, bloomExpectedPerShard = 1000000L,
-        // SPARK_GRAFT_SEEN=sidecar runs the 1e10-deployment seen-set shape
-        // (per-bucket bloom sidecars probed executor-locally, no driver
-        // filter) on the same corpus, so the two modes are A/B-comparable
-        seenFilter = sys.env.getOrElse("SPARK_GRAFT_SEEN", "driver"),
+        seenFilter = seenMode,
         // probing needs buckets to exist: compact eagerly in sidecar mode
-        compactEvery = if (sys.env.get("SPARK_GRAFT_SEEN").contains("sidecar")) 2 else 8,
-        bloomMinBatch = if (sys.env.get("SPARK_GRAFT_SEEN").contains("sidecar")) 0L else 65536L))
+        compactEvery = if (seenMode == "sidecar") 2 else 8,
+        bloomMinBatch = if (seenMode == "sidecar") 0L else 65536L))
     eng.prepare() // corpus load = warehouse state, not crawl throughput
     val t0 = System.nanoTime()
     val report = eng.run(Seq(cfg))
     val secs = (System.nanoTime() - t0) / 1e9
     val fetched = report.totalFetched
     val tput = fetched / secs
-    println(f"""{"metric":"frontier_throughput","cores":$cores,"corpus_pages":$total,"fetched":$fetched,"generations":${report.generations},"seconds":$secs%.2f,"urls_per_sec":$tput%.1f}""")
+    // seen mode rides the record so a stray env export can never be mistaken
+    // for a driver-mode run of record in BENCH.md
+    println(f"""{"metric":"frontier_throughput","cores":$cores,"seen":"$seenMode%s","corpus_pages":$total,"fetched":$fetched,"generations":${report.generations},"seconds":$secs%.2f,"urls_per_sec":$tput%.1f}""")
     spark.stop()
     // tmpfs checkpoints are RAM: leaking them across runs degrades every
     // subsequent measurement (observed: 59 GB of stale state, 2x slowdown)

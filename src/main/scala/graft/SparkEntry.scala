@@ -98,10 +98,15 @@ object SparkEntry {
       // politeness epoch = 256/host/wave; 8 waves batched per committed
       // superstep (commit cadence decoupled from politeness cadence —
       // CrawlConfig.politenessWaves). The machinery runs every superstep but
-      // the budget never BINDS at either verify-able shape (per-host
-      // per-depth frontiers stay < 256 at sf0.01 AND sf0.1), which is what
-      // keeps the DuckDB oracle a plain depth-unrolled BFS at both scales —
-      // at 64 it split host waves at sf0.1 and the order left plain-BFS.
+      // the budget never BINDS at either verify-able shape: per-host
+      // per-depth frontiers stay <= 256 at sf0.01 AND sf0.1 — the hot
+      // host's depth-8 level at sf0.1 is EXACTLY 256, and wave = rank/budget
+      // keeps rank 255 in wave 0, so the margin is ZERO. That is what keeps
+      // the DuckDB oracle a plain depth-unrolled BFS at both scales — at
+      // budget 64 the sf0.1 trace split host waves at depths 7-9 and left
+      // plain-BFS order. If the corpus ever grows a (host, depth) level past
+      // 256, the schedule flips to wave-split order and the oracle must
+      // follow (raise the budget or model waves in the SQL).
       // Budget-BINDING schedules (waves splitting, deferral across
       // supersteps) are trace-oracled in CrawlEngineSpec (hot-host test,
       // scheduler fuzz, canonical fixture).
@@ -842,33 +847,43 @@ object SparkEntry {
     // one BFS body per verify-able scale factor, branch-selected at runtime
     // on the documents row count (500 at sf0.01, 5000 at sf0.1) — the Spark
     // side sizes the crawl as max(200, sf*20000), so the oracle must follow;
-    // at both shapes the politeness budget (64x8 waves/host) never defers,
-    // which is what makes the fixpoint a plain depth-unrolled BFS. Other SFs
-    // are not oracle-covered (the driver verifies at sf0.01).
-    val a = q24BfsCtes(pages = 200, suffix = "a")
-    val b = q24BfsCtes(pages = 2000, suffix = "b")
+    // at both shapes the politeness budget (256/host/wave, 8 waves per
+    // superstep) never defers — zero margin at sf0.1, see the entry()
+    // comment — which is what makes the fixpoint a plain depth-unrolled
+    // BFS. Other SFs are not oracle-covered (the driver verifies at
+    // sf0.01). The branch guard is pushed into each chain's SEED so the
+    // non-matching scale's 12-level anti-join chain evaluates over empty
+    // sets instead of being materialized and discarded.
+    val a = q24BfsCtes(pages = 200, suffix = "a",
+      guard = "(SELECT count(*) FROM documents) = 500")
+    val b = q24BfsCtes(pages = 2000, suffix = "b",
+      guard = "(SELECT count(*) FROM documents) = 5000")
     s"""WITH ${a._1},
        |${b._1}
-       |${q24Select("a", a._2, "(SELECT count(*) FROM documents) = 500")}
+       |${q24Select("a", a._2)}
        |UNION ALL
-       |${q24Select("b", b._2, "(SELECT count(*) FROM documents) = 5000")}
+       |${q24Select("b", b._2)}
        |ORDER BY jobId, seq""".stripMargin
   }
 
   /** One branch's final projection (see [[q24OracleSql]]). */
-  private def q24Select(suffix: String, maxDepth: Int, guard: String): String =
+  private def q24Select(suffix: String, maxDepth: Int): String =
     s"""SELECT 'flagship' AS jobId, seq,
        |  'https://host' || h || '.example.test/p' || j || '.html' AS url,
        |  'https://host' || h || '.example.test/p' || j || '.html' AS urlNorm,
        |  CAST(depth AS INTEGER) AS depth, CAST(0 AS INTEGER) AS attempt,
        |  CAST(200 AS INTEGER) AS status, TRUE AS success, TRUE AS terminal,
        |  CAST(depth AS INTEGER) AS generation
-       |FROM seen$maxDepth$suffix WHERE $guard""".stripMargin
+       |FROM seen$maxDepth$suffix""".stripMargin
 
   /** The depth-unrolled BFS CTE chain for a `pages`-page 8-host SiteGen
     * corpus, all CTE names suffixed so two shapes can share one WITH clause.
-    * Returns (cteSql, maxDepth). */
-  private def q24BfsCtes(pages: Int, suffix: String): (String, Int) = {
+    * `guard` is a scalar boolean predicate selecting whether this branch is
+    * live for the table under verification; it gates the SEED row, so a
+    * non-matching branch's whole chain is a fold over empty sets (the
+    * `max(seq)` subquery is NULL on an empty seen, which nulls the limit
+    * predicate and keeps every level empty). Returns (cteSql, maxDepth). */
+  private def q24BfsCtes(pages: Int, suffix: String, guard: String): (String, Int) = {
     val limit = pages / 2
     val maxDepth = 12
     val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
@@ -894,7 +909,7 @@ object SparkEntry {
          |edges$suffix AS MATERIALIZED (
          |  SELECT * FROM e0$suffix WHERE NOT (dh = 1 AND (dj IN (1, 3) OR dj BETWEEN 30 AND 39))
          |),
-         |lvl0$suffix AS (SELECT 0 AS h, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS seq, 0 AS depth),
+         |lvl0$suffix AS (SELECT 0 AS h, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS seq, 0 AS depth WHERE $guard),
          |seen0$suffix AS MATERIALIZED (SELECT * FROM lvl0$suffix)""".stripMargin)
     (1 to maxDepth).foreach { d =>
       val p = d - 1

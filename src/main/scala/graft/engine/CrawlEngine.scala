@@ -904,38 +904,17 @@ final class CrawlEngine(
         // an exact anti-join against the (small, recent) frontier tail.
         val tagged =
           if (sidecarProbe) {
-            val bp = bucketPaths.toArray
-            val sh = settings.sidecarShards
-            val nonce = seenNonce
             val hcB = hadoopConfB
-            // task-memoized probe: the closure deserializes once per task, so
-            // `local` resolves each (bucket, shard) filter exactly once per
-            // task (the shard-keyed repartition above means only a handful) —
-            // the global SidecarBlooms cache, a synchronized access-order LRU,
-            // would otherwise be locked per ROW per bucket (measured 2.4x on
-            // the 100k-page corpus at 8 cores)
-            val probeFn: (String, String) => Boolean =
-              new ((String, String) => Boolean) with Serializable {
-                @transient private lazy val local =
-                  new java.util.HashMap[Long, Option[org.apache.spark.util.sketch.BloomFilter]]()
-                override def apply(jobId: String, urlNorm: String): Boolean = {
-                  val h = SeenBloom.hash64(jobId + "-" + urlNorm)
-                  val s = graft.frontier.SidecarBlooms.shardOf(h, sh)
-                  var i = 0
-                  while (i < bp.length) {
-                    val key = (i.toLong << 32) | s.toLong
-                    var f = local.get(key)
-                    if (f == null) {
-                      f = graft.frontier.SidecarBlooms.load(bp(i), s, nonce, hcB.value.value)
-                      local.put(key, f)
-                    }
-                    if (f.forall(_.mightContainLong(h))) return true
-                    i += 1
-                  }
-                  false
-                }
-              }
-            val mightContain = udf(probeFn)
+            // task-memoized probe (one (bucket, shard) filter load per task —
+            // the shard-keyed repartition above means only a handful); the
+            // missing-file => maybe-seen contract lives in SidecarBlooms,
+            // spec-pinned there, not re-implemented here
+            val probe = graft.frontier.SidecarBlooms.taskLocalProbe(
+              bucketPaths.toArray, settings.sidecarShards, seenNonce,
+              () => hcB.value.value)
+            val mightContain = udf { (jobId: String, urlNorm: String) =>
+              probe(SeenBloom.hash64(jobId + "-" + urlNorm))
+            }
             cand.withColumn("__maybe", mightContain($"jobId", $"urlNorm"))
           } else if (useBloom && settings.seenFilter == "driver") {
             val bloomB = spark.sparkContext.broadcast(bloom)

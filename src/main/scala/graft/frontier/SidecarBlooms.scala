@@ -134,4 +134,34 @@ object SidecarBlooms {
     val s = shardOf(h, shards)
     bucketDirs.exists(b => load(b, s, nonce, conf).forall(_.mightContainLong(h)))
   }
+
+  /** A serializable, task-memoized probe with [[mightContain]]'s exact
+    * contract (true = might be seen OR a sidecar file is missing; false only
+    * when every bucket's filter definitely excludes `h`). Each deserialized
+    * task instance resolves a (bucket, shard) filter at most once through a
+    * task-local plain HashMap instead of the global synchronized LRU, which
+    * would otherwise be locked per ROW per bucket (measured 2.4x slower on
+    * the 100k-page corpus at 8 cores). `conf` must be a broadcast-backed
+    * thunk so no bare Hadoop Configuration rides the closure. */
+  def taskLocalProbe(bucketDirs: Array[String], shards: Int, nonce: String,
+      conf: () => Configuration): Long => Boolean =
+    new (Long => Boolean) with Serializable {
+      @transient private lazy val local =
+        new java.util.HashMap[Long, Option[BloomFilter]]()
+      override def apply(h: Long): Boolean = {
+        val s = shardOf(h, shards)
+        var i = 0
+        while (i < bucketDirs.length) {
+          val key = (i.toLong << 32) | s.toLong
+          var f = local.get(key)
+          if (f == null) {
+            f = load(bucketDirs(i), s, nonce, conf())
+            local.put(key, f)
+          }
+          if (f.forall(_.mightContainLong(h))) return true
+          i += 1
+        }
+        false
+      }
+    }
 }

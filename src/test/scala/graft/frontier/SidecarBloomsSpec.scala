@@ -76,6 +76,45 @@ class SidecarBloomsSpec extends AnyFunSuite {
       spark.sessionState.newHadoopConf()))
   }
 
+  test("taskLocalProbe matches mightContain exactly (present, absent, and missing-file keys)") {
+    import spark.implicits._
+    val shards = 4
+    val root = Files.createTempDirectory("sidecar-probe-eq").toString
+    val built = root + "/bucket=0-0-L0"     // has sidecar files
+    val bare = root + "/bucket=0-1-L0"      // committed parquet, NO sidecars
+    val hconf = spark.sessionState.newHadoopConf()
+    spark.range(20000)
+      .select(lit("job").as("jobId"), concat(lit("https://eq.example.test/p"), $"id").as("urlNorm"))
+      .repartition(2).write.parquet(built)
+    Files.createDirectories(Paths.get(bare))
+    SidecarBlooms.buildForBucket(spark, built, shards, fpp = 0.01,
+      committedRows = 20000L, nonce = "eq", confB =
+        spark.sparkContext.broadcast(new graft.core.SerializableHadoopConf(hconf)))
+    // serialize the probe (it ships in a UDF closure in production) before use
+    def roundTrip[T <: AnyRef](t: T): T = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(t); oos.close()
+      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[T]
+    }
+    // production passes a broadcast-backed thunk; a SerializableHadoopConf
+    // capture is the same serializable shape
+    val sconf = new graft.core.SerializableHadoopConf(hconf)
+    for (dirs <- Seq(Array(built), Array(bare), Array(built, bare))) {
+      val probe = roundTrip(SidecarBlooms.taskLocalProbe(dirs, shards, "eq", () => sconf.value))
+      val keys =
+        (0 until 20000).map(i => SeenBloom.hash64("job-https://eq.example.test/p" + i)) ++
+        (0 until 20000).map(i => SeenBloom.hash64("job-https://no.example.test/q" + i))
+      keys.foreach { h =>
+        assert(probe(h) ===
+          SidecarBlooms.mightContain(dirs.toSeq, h, shards, "eq", hconf),
+          s"probe/mightContain divergence for dirs=${dirs.mkString(",")} h=$h")
+      }
+      // any bucket missing its sidecar forces maybe-seen on every key
+      if (dirs.contains(bare)) assert(keys.forall(probe(_)))
+    }
+  }
+
   test("nonce keys the executor cache: a recreated bucket at the same path is never served stale") {
     import spark.implicits._
     val shards = 4
