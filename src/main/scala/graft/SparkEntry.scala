@@ -329,6 +329,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplicate-CLUSTER resolution (pairs -> connected components -> one
+    // keeper per cluster): the step after MinHash/SimHash pair generation
+    // that pair lists alone cannot do. Edges are DuckDB-recomputable by
+    // construction: (a) exact-dup adjacency CHAINS — consecutive doc ids
+    // within each md5(lower(text)) group of the q11-style doubled corpus;
+    // (b) closed-form chain edges (doc_id-37 -> doc_id when 37 | doc_id and
+    // both ids exist), giving multi-hop components of diameter ~14 at
+    // sf0.01 / ~135 at sf0.1 — the transitive case that genuinely needs
+    // the O(log n)-round star contraction. DuckDB resolves the same graph
+    // with a recursive-CTE transitive closure (exact on these small
+    // components; the Spark side never materializes a closure).
+    "q43_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs2 = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val w = Window.partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
+      val dupEdges = docs2
+        .select(lag(col("doc_id"), 1).over(w).as("a"), col("doc_id").as("b"))
+        .filter(col("a").isNotNull)
+      val ids = docs2.select(col("doc_id"))
+      val chainEdges = ids.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") - 37).as("a"), col("doc_id").as("b"))
+        .join(ids.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      val pairs = dupEdges.unionByName(chainEdges)
+      graft.pipeline.Graph.dupClusters(docs2, "doc_id", pairs, "a", "b")
+        .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // link-graph PageRank for frontier prioritization (OPIC-style crawl
+    // ordering), in FIXED-POINT integer arithmetic so ranks are exactly
+    // reproducible on any partitioning and exactly recomputable by SQL.
+    // The real extraction kernel runs (parse + a[href] resolve + normalize
+    // over every page, same path q24's green oracle pins to the generator's
+    // edge rule); DuckDB re-derives the identical edge set closed-form and
+    // replays the identical integer recurrence, 10 unrolled iterations.
+    "q44_link_pagerank" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val pages = math.max(200, (sfOf(dir) * 20000).toInt)
+      val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
+      val total = sizes.map(_.toLong).sum
+      val idRe = """https://host(\d+)\.example\.test/p(\d+)\.html""".r
+      val edges = s.range(total).mapPartitions { it =>
+        val formats = graft.core.Extractor.Formats(
+          html = false, markdown = false, text = false, links = true)
+        it.flatMap { idx =>
+          val (h, p) = graft.fixtures.SiteGen.hostPage(sizes, idx)
+          val url = graft.fixtures.SiteGen.pageUrl(h, p)
+          val html = graft.fixtures.SiteGen.pageHtml(42L, h, p, sizes)
+          val src = h.toLong * 100000L + p
+          graft.core.Extractor.extract(url, html, formats).links.flatMap { l =>
+            UrlOps.normalize(l) match {
+              case idRe(dh, dj) => Some((src, dh.toLong * 100000L + dj.toLong))
+              case _            => None
+            }
+          }
+        }
+      }.toDF("src", "dst")
+      graft.pipeline.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 10)
+        .select(expr("id div 100000").cast("int").as("host"),
+          expr("id % 100000").as("page"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("host"), col("page"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -933,9 +998,128 @@ object SparkEntry {
     (sb.toString, maxDepth)
   }
 
+  /** q44's oracle: the SiteGen link graph re-derived closed-form (the same
+    * edge rule q24's green oracle pins the extractor to, WITHOUT the robots
+    * exclusion — PageRank runs over the raw link graph) and the exact
+    * integer PageRank recurrence of [[graft.pipeline.Graph.pageRankFixedPoint]]
+    * unrolled `iters` times. All arithmetic is BIGINT with `//` mirroring
+    * Spark's `div`, so the ranks are bit-equal, not approximately equal.
+    * Branch-selected per scale factor via a seed guard like [[q24BfsCtes]]. */
+  private def q44PrSql: String = {
+    val a = q44PrCtes(pages = 200, suffix = "pa",
+      guard = "(SELECT count(*) FROM documents) = 500")
+    val b = q44PrCtes(pages = 2000, suffix = "pb",
+      guard = "(SELECT count(*) FROM documents) = 5000")
+    val sel = (s: String) =>
+      s"""SELECT CAST(id // 100000 AS INTEGER) AS host, id % 100000 AS page,
+         |  r AS rank_fp FROM r10$s""".stripMargin
+    s"""WITH ${a},
+       |${b}
+       |${sel("pa")}
+       |UNION ALL
+       |${sel("pb")}
+       |ORDER BY rank_fp DESC, host, page""".stripMargin
+  }
+
+  private def q44PrCtes(pages: Int, suffix: String, guard: String): String = {
+    val iters = 10
+    val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
+    val sizeValues = sizes.zipWithIndex.map { case (n, h) => s"($h,$n)" }.mkString(",")
+    val n = pages.toLong
+    val scale = 1000000000000L
+    val init = scale / n
+    val base = scale / n * 15L / 100L
+    val sb = new StringBuilder
+    sb.append(
+      s"""pages$suffix AS (
+         |  SELECT s.h AS h, CAST(t.j AS BIGINT) AS j, s.n AS n
+         |  FROM (VALUES $sizeValues) s(h,n),
+         |       LATERAL (SELECT unnest(range(s.n)) AS j) t
+         |  WHERE $guard
+         |),
+         |edges$suffix AS MATERIALIZED (
+         |  SELECT DISTINCT h*100000 + j AS src, dh*100000 + dj AS dst FROM (
+         |    SELECT h, j, h AS dh, CAST(0 AS BIGINT) AS dj FROM pages$suffix
+         |    UNION ALL SELECT h, j, h, 2*j+1 FROM pages$suffix WHERE 2*j+1 < n
+         |    UNION ALL SELECT h, j, h, 2*j+2 FROM pages$suffix WHERE 2*j+2 < n
+         |    UNION ALL SELECT h, j, h, (j-1)//2 FROM pages$suffix WHERE j >= 3
+         |    UNION ALL SELECT h, j, (h + j//3) % ${sizes.length}, CAST(0 AS BIGINT)
+         |      FROM pages$suffix WHERE j % 3 = 0 AND j > 0 AND (h + j//3) % ${sizes.length} <> h
+         |  )
+         |),
+         |deg$suffix AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM edges$suffix GROUP BY src
+         |),
+         |nodes$suffix AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges$suffix
+         |    UNION ALL SELECT dst FROM edges$suffix)
+         |),
+         |r0$suffix AS (SELECT id, CAST($init AS BIGINT) AS r FROM nodes$suffix)""".stripMargin)
+    (1 to iters).foreach { k =>
+      val p = k - 1
+      sb.append(
+        s""",
+           |r$k$suffix AS MATERIALIZED (
+           |  SELECT nd.id,
+           |    CAST($base + (COALESCE(s.s, 0) * 85) // 100 AS BIGINT) AS r
+           |  FROM nodes$suffix nd LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+           |    FROM edges$suffix e
+           |    JOIN r$p$suffix r ON r.id = e.src
+           |    JOIN deg$suffix d ON d.src = e.src
+           |    GROUP BY e.dst
+           |  ) s ON s.id = nd.id
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   // --------------------------------------------------------------- oracles
   def oracleSql: Map[String, String] = Map(
     "q24_crawl_bsp" -> q24OracleSql,
+    "q44_link_pagerank" -> q44PrSql,
+
+    // connected components resolved the orthodox SQL way (recursive-CTE
+    // transitive closure to the min reachable id) over the SAME closed-form
+    // edge set the Spark side builds: md5-group adjacency chains of the
+    // doubled corpus + the mod-37 chain edges. Exact on these components;
+    // the Spark side (alternating-star CC) never materializes a closure.
+    "q43_dup_clusters" ->
+      """WITH RECURSIVE docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |), dup_edges AS (
+        |  SELECT a, b FROM (
+        |    SELECT lag(doc_id) OVER (PARTITION BY md5(lower(text))
+        |                             ORDER BY doc_id) AS a,
+        |           doc_id AS b
+        |    FROM docs2) x
+        |  WHERE a IS NOT NULL
+        |), chain_edges AS (
+        |  SELECT d.doc_id - 37 AS a, d.doc_id AS b
+        |  FROM docs2 d
+        |  WHERE d.doc_id % 37 = 0
+        |    AND EXISTS (SELECT 1 FROM docs2 x WHERE x.doc_id = d.doc_id - 37)
+        |), undirected AS (
+        |  SELECT u, v FROM (
+        |    SELECT a AS u, b AS v FROM dup_edges
+        |    UNION SELECT a, b FROM chain_edges
+        |    UNION SELECT b, a FROM dup_edges
+        |    UNION SELECT b, a FROM chain_edges)
+        |  WHERE u <> v
+        |), reach AS (
+        |  SELECT u AS id, v AS m FROM undirected
+        |  UNION
+        |  SELECT r.id, un.v FROM reach r JOIN undirected un ON un.u = r.m
+        |), comp AS (
+        |  SELECT id, min(m) AS mn FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster,
+        |  COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
+        |FROM docs2 d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Ground-truth verification for the graph operators:
+ *  - connectedComponents vs an in-test union-find over the same edges
+ *    (random sparse graphs + adversarial shapes: long paths, cycles, hot
+ *    stars, disjoint cliques, self-loops)
+ *  - pageRankFixedPoint vs a sequential single-threaded evaluation of the
+ *    identical integer recurrence, plus a partitioning-invariance check
+ *    (the property the fixed-point design exists for)
+ */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graph-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ------------------------------------------------------------ union-find
+  private final class UnionFind(n: Int) {
+    private val p = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    /** min member per component, for every node 0..n-1 */
+    def labels(): Map[Long, Long] = {
+      val minOf = scala.collection.mutable.Map[Int, Int]()
+      (0 until n).foreach { x =>
+        val r = find(x)
+        minOf.update(r, math.min(minOf.getOrElse(r, x), x))
+      }
+      (0 until n).map(x => x.toLong -> minOf(find(x)).toLong).toMap
+    }
+  }
+
+  private def ccCheck(edges: Seq[(Long, Long)], nNodes: Int, clue: String): Unit = {
+    import spark.implicits._
+    val uf = new UnionFind(nNodes)
+    edges.foreach { case (a, b) => uf.union(a.toInt, b.toInt) }
+    val present: Set[Long] = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expected = uf.labels().filter { case (id, _) => present(id) }
+    val got = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, clue)
+  }
+
+  test("connectedComponents: random sparse graphs match union-find") {
+    val n = 300
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      ccCheck(edges, n, s"random graph seed=$seed")
+    }
+  }
+
+  test("connectedComponents: adversarial shapes (path, cycle, cliques, hot star)") {
+    // 200-node path: diameter 199 — breaks label propagation without the
+    // O(log n) star contraction
+    ccCheck((0L until 199L).map(i => (i, i + 1)), 200, "path-200")
+    // cycle
+    ccCheck((0L until 100L).map(i => (i, (i + 1) % 100)), 100, "cycle-100")
+    // two disjoint cliques + an isolated pair
+    val cliqueA = for (i <- 0 until 12; j <- i + 1 until 12) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 20 until 30; j <- i + 1 until 30) yield (i.toLong, j.toLong)
+    ccCheck(cliqueA ++ cliqueB ++ Seq((40L, 41L)), 42, "cliques")
+    // hot star: 5000 spokes on one center — the no-neighbor-list claim
+    ccCheck((1L to 5000L).map(i => (0L, i)), 5001, "star-5000")
+    // self-loops only: every node its own component
+    ccCheck(Seq((3L, 3L), (5L, 5L)), 6, "self-loops")
+  }
+
+  test("dupClusters: planted duplicate groups resolve to one keeper per cluster") {
+    import spark.implicits._
+    // docs 0..29; groups {0,10,20}, {1,11}, rest singletons; pairs given as
+    // a CHAIN (0-10, 10-20), not a clique — the transitive case pairs alone
+    // cannot dedup
+    val docs = (0L until 30L).toDF("doc_id")
+    val pairs = Seq((0L, 10L), (10L, 20L), (1L, 11L)).toDF("a", "b")
+    val out = Graph.dupClusters(docs, "doc_id", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = (0L until 30L).map { id =>
+      val cluster = if (id == 10L || id == 20L) 0L else if (id == 11L) 1L else id
+      (id, cluster, cluster == id)
+    }.toSet
+    assert(out == expected)
+    // exactly one keeper per cluster
+    assert(out.count(_._3) == 30 - 3)
+  }
+
+  // ---------------------------------------------------------------- pagerank
+  /** Sequential evaluation of the exact integer recurrence in the scaladoc. */
+  private def seqPageRank(edges: Seq[(Long, Long)], iterations: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85L, dampDen: Long = 100L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val init = scale / n
+    val base = scale / n * (dampDen - dampNum) / dampDen
+    var r = nodes.map(_ -> init).toMap
+    (1 to iterations).foreach { _ =>
+      val sums = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (s, d) => sums(d) += r(s) / deg(s) }
+      r = nodes.map(v => v -> (base + sums(v) * dampNum / dampDen)).toMap
+    }
+    r
+  }
+
+  test("pageRankFixedPoint matches the sequential recurrence exactly") {
+    import spark.implicits._
+    for (seed <- Seq(2L, 9L)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (Seq.fill(400)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) ++
+        (0L until 80L).map(i => (i, (i * 3 + 1) % 80))).distinct // no dangling sinks unless random
+      val got = Graph.pageRankFixedPoint(edges.toDF("s", "d"), "s", "d", iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == seqPageRank(edges, 10), s"seed=$seed")
+    }
+  }
+
+  test("pageRankFixedPoint: exact partitioning invariance (the fixed-point property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val edges = Seq.fill(500)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).distinct
+    val df = edges.toDF("s", "d")
+    val a = Graph.pageRankFixedPoint(df.repartition(1), "s", "d", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankFixedPoint(df.repartition(16, col("d")), "s", "d", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "ranks must be bit-identical under any partitioning")
+  }
+
+  test("pageRankFixedPoint: rank mass and ordering sanity on a known shape") {
+    import spark.implicits._
+    // star: all spokes point at the hub; hub points at spoke 1
+    val edges = (1L to 50L).map(i => (i, 0L)) :+ (0L, 1L)
+    val r = Graph.pageRankFixedPoint(edges.toDF("s", "d"), "s", "d", 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // NOTE: hub vs spoke-1 oscillates with period 2 (the hub hands its whole
+    // mass to spoke 1 each synchronous step — genuine power-iteration
+    // behavior on a near-periodic graph), so only oscillation-stable
+    // orderings are asserted: both in-linked nodes beat the unlinked spokes.
+    assert(r(0L) > r(2L), "hub (50 in-links) outranks unlinked spokes")
+    assert(r(1L) > r(2L), "linked spoke outranks unlinked spokes")
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 600000000000L,
+      s"mass conserved up to deterministic truncation loss, got $total")
+  }
+}
