@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,6 +39,14 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Edge-count ceiling for the window-min star formulation (and PageRank's
+    * window degree count): below it a whole-neighbor-set window partition is
+    * a few MB and the 3-exchange round wins; above it the groupBy+join
+    * formulation's map-side partial aggregation is mandatory (a hot node's
+    * neighbor set must never be buffered by one task). 2^21 edges ≈ 50 MB
+    * worst-case single partition. */
+  private val starWindowMaxEdges = 1L << 21
+
   /**
    * Connected components of the undirected graph given by `(srcCol, dstCol)`
    * pairs. Returns `(id: long, component: long)` where `component` is the
@@ -51,8 +60,14 @@ object Graph {
    *  - small-star: direct each edge big→small, link each smaller neighbor
    *    (and the node itself) to the minimum smaller neighbor.
    * The edge set converges to disjoint stars centered on component minima;
-   * convergence is detected by edge-set equality (count + one-sided
-   * `except`, both O(E) — cheap relative to the star rounds themselves).
+   * convergence is detected in two tiers to keep the per-round job count at
+   * two (materialize + one scalar aggregate): an exact-arithmetic
+   * fingerprint (count, sum(u), sum(v), xor of xxhash64(u,v)) computed in
+   * the same tiny job as the count gates the expensive check, and only a
+   * fingerprint MATCH triggers the authoritative one-sided `except` —
+   * so the O(E)-join equality test runs once per converged component
+   * structure instead of every round, and a fingerprint collision can at
+   * worst add one extra (correct) round, never terminate early wrongly.
    */
   def connectedComponents(
       edges0: DataFrame, srcCol: String, dstCol: String,
@@ -60,11 +75,15 @@ object Graph {
     val spark = edges0.sparkSession
     import spark.implicits._
 
+    // all checkpoints below are LAZY: the Dataset's plan is truncated to a
+    // LogicalRDD immediately (so iteration never grows the Catalyst plan),
+    // but materialization rides the next action instead of paying a
+    // dedicated job — the round's fingerprint aggregate is that action
     val nodes = edges0
       .select(col(srcCol).cast("long").as("id"))
       .union(edges0.select(col(dstCol).cast("long").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // canonical simple undirected edges u < v; self-loops carry no
     // connectivity information
@@ -74,40 +93,84 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .localCheckpoint(true)
-    var eCount = e.count()
+      .localCheckpoint(false)
 
-    var converged = eCount == 0L
+    // exact set-insensitive fingerprint: equal edge sets ALWAYS produce
+    // equal fingerprints, so inequality proves progress without a join;
+    // equality is only a trigger for the authoritative `except` below
+    def fingerprint(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)), sum($"u"), sum($"v"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3))
+    }
+    var eFp = fingerprint(e)
+
+    var converged = eFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // ---- large-star
+      // Two formulations of the same star steps, picked per round from the
+      // edge count the fingerprint already measured (the engine's
+      // saltMinBatch pattern): below the threshold a window-min pipeline —
+      // 3 exchanges per round, with the per-node neighbor partition an
+      // acceptable single task at that size; above it the groupBy-min +
+      // equi-join pipeline — ~2x the exchanges but map-side partial
+      // aggregation, so a node with 10^8 neighbors never lands in one task.
+      val useWindow = eFp._1 <= starWindowMaxEdges
+
+      // ---- large-star: link each larger neighbor b > a to
+      //      m(a) = min(Γ(a) ∪ {a})
       val dir = e.select($"u".as("a"), $"v".as("b"))
         .union(e.select($"v".as("a"), $"u".as("b")))
-      val mins = dir.groupBy($"a")
-        .agg(min($"b").as("mn"))
-        .select($"a", least($"a", $"mn").as("m"))
-      val large = dir.join(mins, "a")
-        .filter($"b" > $"a")
-        .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
-        .filter($"u" =!= $"v")
-        .distinct()
+      val large = if (useWindow) {
+        val wa = Window.partitionBy($"a")
+        dir.withColumn("m", least($"a", min($"b").over(wa)))
+          .filter($"b" > $"a")
+          .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
+          .filter($"u" =!= $"v")
+      } else {
+        val mins = dir.groupBy($"a")
+          .agg(min($"b").as("mn"))
+          .select($"a", least($"a", $"mn").as("m"))
+        // no intermediate distinct: duplicates stay bounded by |dir| = 2E
+        // and the small-star's closing distinct dedups — one less exchange
+        dir.join(mins, "a")
+          .filter($"b" > $"a")
+          .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
+          .filter($"u" =!= $"v")
+      }
 
       // ---- small-star (over the large-star output, per the alternating
       // schedule): direct big -> small, hook everything to the local min
       val dir2 = large.select($"v".as("a"), $"u".as("b")) // a > b always
-      val mins2 = dir2.groupBy($"a").agg(min($"b").as("m"))
-      val joined = dir2.join(mins2, "a")
-      val small = joined.select($"b".as("x"), $"m")
-        .union(joined.select($"a".as("x"), $"m").distinct())
+      val hooked = if (useWindow) {
+        // min and row_number share one partitioning: a single exchange,
+        // and rn = 1 emits the (a, m) self-hook exactly once per node
+        // (replacing the distinct the join formulation needs)
+        val wa = Window.partitionBy($"a")
+        val wo = wa.orderBy($"b")
+        val withM = dir2
+          .withColumn("m", min($"b").over(wa))
+          .withColumn("rn", row_number().over(wo))
+        withM.select($"b".as("x"), $"m")
+          .union(withM.filter($"rn" === 1).select($"a".as("x"), $"m"))
+      } else {
+        val mins2 = dir2.groupBy($"a").agg(min($"b").as("m"))
+        val joined = dir2.join(mins2, "a")
+        joined.select($"b".as("x"), $"m")
+          .union(joined.select($"a".as("x"), $"m").distinct())
+      }
+      val small = hooked
         .filter($"x" =!= $"m")
         .select(least($"x", $"m").as("u"), greatest($"x", $"m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
-      val smallCount = small.count()
-      converged = smallCount == eCount && small.except(e).isEmpty
+      val smallFp = fingerprint(small)
+      converged = smallFp == eFp && small.except(e).isEmpty
       e = small
-      eCount = smallCount
+      eFp = smallFp
       iter += 1
     }
 
@@ -173,30 +236,46 @@ object Graph {
     val e = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select($"src".as("id"))
       .union(e.select($"dst".as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "pageRankFixedPoint: empty graph")
 
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // out-degree folded into the edge table ONCE, so the per-iteration plan
+    // is a single equi-join with the rank frame + one partial-aggregated
+    // groupBy — not a second join against a degree dimension every
+    // iteration. Window count below the size threshold (one exchange);
+    // groupBy + join above it (map-side combine, no per-node buffering).
+    // `e` was just materialized by the nodes count, so this count is a
+    // cached-scan job, not a recompute.
+    val eCnt = e.count()
+    val ed = (if (eCnt <= starWindowMaxEdges)
+        e.withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
+      else
+        e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src"))
+      .localCheckpoint(false)
     val init = scale / n
     val base = scale / n * (dampDen - dampNum) / dampDen
 
-    var r = nodes.select($"id", lit(init).as("r")).localCheckpoint(true)
+    // every checkpoint is LAZY: the plan is re-rooted at a LogicalRDD each
+    // iteration (constant-size Catalyst plan), but NO per-iteration action
+    // runs — the caller's single action computes the whole k-step chain,
+    // persisting each step's RDD along the way (iteration k+1 reads k's
+    // cached partitions, not its lineage)
+    var r = nodes.select($"id", lit(init).as("r")).localCheckpoint(false)
     var k = 0
     while (k < iterations) {
-      val sums = e
-        .join(r, e("src") === r("id"))
-        .join(deg, "src")
+      val sums = ed
+        .join(r, ed("src") === r("id"))
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
       r = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select($"id",
           expr(s"$base + (coalesce(s, 0) * $dampNum) div $dampDen").as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       k += 1
     }
     r.select($"id", $"r".as("rank_fp"))
