@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 42 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 44 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -388,7 +388,7 @@ object SparkEntry {
           }
         }
       }.toDF("src", "dst")
-      graft.pipeline.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 10)
+      graft.pipeline.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = q44Iters)
         .select(expr("id div 100000").cast("int").as("host"),
           expr("id % 100000").as("page"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("host"), col("page"))
@@ -1005,6 +1005,10 @@ object SparkEntry {
     * unrolled `iters` times. All arithmetic is BIGINT with `//` mirroring
     * Spark's `div`, so the ranks are bit-equal, not approximately equal.
     * Branch-selected per scale factor via a seed guard like [[q24BfsCtes]]. */
+  /** Single source of truth for q44's iteration count — the Spark query,
+    * the CTE unrolling, and the final `FROM r<k>` selection all read it. */
+  private val q44Iters = 10
+
   private def q44PrSql: String = {
     val a = q44PrCtes(pages = 200, suffix = "pa",
       guard = "(SELECT count(*) FROM documents) = 500")
@@ -1012,7 +1016,7 @@ object SparkEntry {
       guard = "(SELECT count(*) FROM documents) = 5000")
     val sel = (s: String) =>
       s"""SELECT CAST(id // 100000 AS INTEGER) AS host, id % 100000 AS page,
-         |  r AS rank_fp FROM r10$s""".stripMargin
+         |  r AS rank_fp FROM r$q44Iters$s""".stripMargin
     s"""WITH ${a},
        |${b}
        |${sel("pa")}
@@ -1022,7 +1026,7 @@ object SparkEntry {
   }
 
   private def q44PrCtes(pages: Int, suffix: String, guard: String): String = {
-    val iters = 10
+    val iters = q44Iters
     val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
     val sizeValues = sizes.zipWithIndex.map { case (n, h) => s"($h,$n)" }.mkString(",")
     val n = pages.toLong

@@ -97,13 +97,21 @@ object Graph {
 
     // exact set-insensitive fingerprint: equal edge sets ALWAYS produce
     // equal fingerprints, so inequality proves progress without a join;
-    // equality is only a trigger for the authoritative `except` below
-    def fingerprint(df: DataFrame): (Long, Long, Long, Long) = {
+    // equality is only a trigger for the authoritative `except` below.
+    // Sums run in decimal(38,0): ids may legitimately span the full 64-bit
+    // hash range (MinHash/SimHash pipelines key by xxhash64), where a long
+    // SUM overflows — an ArithmeticException under Spark 4's default ANSI
+    // mode. bit_xor cannot overflow.
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal, Long) = {
+      val zero = java.math.BigDecimal.ZERO
       val r = df.agg(
-        count(lit(1)), sum($"u"), sum($"v"),
+        count(lit(1)),
+        sum($"u".cast("decimal(38,0)")), sum($"v".cast("decimal(38,0)")),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3))
+      (r.getLong(0),
+        if (r.isNullAt(1)) zero else r.getDecimal(1).stripTrailingZeros(),
+        if (r.isNullAt(2)) zero else r.getDecimal(2).stripTrailingZeros(),
+        r.getLong(3))
     }
     var eFp = fingerprint(e)
 
@@ -173,6 +181,11 @@ object Graph {
       eFp = smallFp
       iter += 1
     }
+    // labeling a non-fixpoint edge set would return plausible-looking but
+    // WRONG components — fail loudly instead of silently corrupting
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations rounds " +
+        s"(${eFp._1} edges remain); raise maxIterations")
 
     // converged edge set = disjoint stars (u = component min, v = member);
     // groupBy-min guards the (impossible at fixpoint, cheap to enforce)
@@ -185,20 +198,28 @@ object Graph {
   /**
    * Duplicate-cluster resolution: near-dup `pairs` (from any Dedup candidate
    * generator) over `docs` → one row per doc `(id, cluster, keep)` where
-   * `cluster` is the min doc id of the doc's duplicate cluster (its own id
-   * if unpaired) and `keep` marks the cluster canonical (exactly one per
-   * cluster). `docs.filter(keep)` is the deduplicated corpus.
+   * `cluster` is the min doc id PRESENT IN `docs` of the doc's duplicate
+   * cluster (its own id if unpaired) and `keep` marks the cluster canonical
+   * (exactly one per cluster). `docs.filter(keep)` is the deduplicated
+   * corpus. Pairs may reference ids absent from `docs` (candidates generated
+   * before a filter pass): the cluster label is re-anchored to the minimum
+   * SURVIVING doc, so every non-empty cluster keeps exactly one doc — a raw
+   * component-min label would mark zero keepers in such clusters and
+   * `filter(keep)` would silently drop them all.
    */
   def dupClusters(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol)
-    docs.select(col(idCol).cast("long").as("id"))
+    val labeled = docs.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("comp0"))
+    val anchors = labeled.groupBy(col("comp0")).agg(min(col("id")).as("cluster"))
+    labeled.join(anchors, "comp0")
       .select(
         col("id"),
-        coalesce(col("component"), col("id")).as("cluster"),
-        (coalesce(col("component"), col("id")) === col("id")).as("keep"))
+        col("cluster"),
+        (col("cluster") === col("id")).as("keep"))
   }
 
   /**

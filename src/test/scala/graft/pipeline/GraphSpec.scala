@@ -96,6 +96,44 @@ class GraphSpec extends AnyFunSuite {
     assert(out.count(_._3) == 30 - 3)
   }
 
+  test("dupClusters: pairs referencing ids absent from docs still keep one doc per cluster") {
+    import spark.implicits._
+    // cluster {5, 9, 13} chained — but docs 5 and 13 were filtered out of the
+    // corpus (pairs generated pre-filter). The cluster label must re-anchor
+    // to the min SURVIVING id (9) so filter(keep) keeps doc 9 rather than
+    // silently dropping the whole cluster; a raw component-min label (5)
+    // would mark zero keepers.
+    val docs = Seq(1L, 2L, 9L).toDF("doc_id")
+    val pairs = Seq((5L, 9L), (9L, 13L), (1L, 2L)).toDF("a", "b")
+    val out = Graph.dupClusters(docs, "doc_id", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (9L, 9L, true)))
+  }
+
+  test("connectedComponents: fails loudly when maxIterations is exhausted") {
+    import spark.implicits._
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Graph.connectedComponents(path, "a", "b", maxIterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents: ids spanning the full 64-bit hash range (ANSI-safe fingerprint)") {
+    import spark.implicits._
+    // sums of raw ids overflow Long here — the decimal fingerprint must not
+    // raise under Spark's default ANSI mode, and labels must still be exact
+    val big = Long.MaxValue - 2L
+    val neg = Long.MinValue + 5L
+    val edges = Seq((big, big - 1L), (big - 1L, neg), (7L, big), (100L, 101L))
+    val got = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      big -> neg, (big - 1L) -> neg, neg -> neg, 7L -> neg,
+      100L -> 100L, 101L -> 100L)
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------------- pagerank
   /** Sequential evaluation of the exact integer recurrence in the scaladoc. */
   private def seqPageRank(edges: Seq[(Long, Long)], iterations: Int,
