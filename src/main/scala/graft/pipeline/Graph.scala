@@ -44,8 +44,9 @@ object Graph {
     * a few MB and the 3-exchange round wins; above it the groupBy+join
     * formulation's map-side partial aggregation is mandatory (a hot node's
     * neighbor set must never be buffered by one task). 2^21 edges ≈ 50 MB
-    * worst-case single partition. */
-  private val starWindowMaxEdges = 1L << 21
+    * worst-case single partition. Overridable per call so tests exercise
+    * BOTH formulations against the same ground truth. */
+  private[pipeline] val starWindowMaxEdges = 1L << 21
 
   /**
    * Connected components of the undirected graph given by `(srcCol, dstCol)`
@@ -71,7 +72,8 @@ object Graph {
    */
   def connectedComponents(
       edges0: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      windowMaxEdges: Long = starWindowMaxEdges): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
 
@@ -125,7 +127,7 @@ object Graph {
       // acceptable single task at that size; above it the groupBy-min +
       // equi-join pipeline — ~2x the exchanges but map-side partial
       // aggregation, so a node with 10^8 neighbors never lands in one task.
-      val useWindow = eFp._1 <= starWindowMaxEdges
+      val useWindow = eFp._1 <= windowMaxEdges
 
       // ---- large-star: link each larger neighbor b > a to
       //      m(a) = min(Γ(a) ∪ {a})
@@ -250,7 +252,8 @@ object Graph {
       edges0: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10,
       scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      windowMaxEdges: Long = starWindowMaxEdges): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
 
@@ -273,7 +276,7 @@ object Graph {
     // `e` was just materialized by the nodes count, so this count is a
     // cached-scan job, not a recompute.
     val eCnt = e.count()
-    val ed = (if (eCnt <= starWindowMaxEdges)
+    val ed = (if (eCnt <= windowMaxEdges)
         e.withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
       else
         e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src"))

@@ -47,9 +47,15 @@ class GraphSpec extends AnyFunSuite {
     edges.foreach { case (a, b) => uf.union(a.toInt, b.toInt) }
     val present: Set[Long] = edges.flatMap(e => Seq(e._1, e._2)).toSet
     val expected = uf.labels().filter { case (id, _) => present(id) }
-    val got = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == expected, clue)
+    // both adaptive formulations must agree with the ground truth: the
+    // window-min path (bench sizes) AND the groupBy+join path that real
+    // 10^9-edge graphs take (forced via windowMaxEdges = 0)
+    for ((thr, path) <- Seq((Graph.starWindowMaxEdges, "window"), (0L, "groupBy+join"))) {
+      val got = Graph.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", windowMaxEdges = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"$clue [$path path]")
+    }
   }
 
   test("connectedComponents: random sparse graphs match union-find") {
@@ -159,9 +165,14 @@ class GraphSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(seed)
       val edges = (Seq.fill(400)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) ++
         (0L until 80L).map(i => (i, (i * 3 + 1) % 80))).distinct // no dangling sinks unless random
-      val got = Graph.pageRankFixedPoint(edges.toDF("s", "d"), "s", "d", iterations = 10)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == seqPageRank(edges, 10), s"seed=$seed")
+      val expected = seqPageRank(edges, 10)
+      // window degree path and the at-scale groupBy+join degree path
+      for (thr <- Seq(Graph.starWindowMaxEdges, 0L)) {
+        val got = Graph.pageRankFixedPoint(edges.toDF("s", "d"), "s", "d",
+            iterations = 10, windowMaxEdges = thr)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed thr=$thr")
+      }
     }
   }
 
