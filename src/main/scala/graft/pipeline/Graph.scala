@@ -127,54 +127,7 @@ object Graph {
       // acceptable single task at that size; above it the groupBy-min +
       // equi-join pipeline — ~2x the exchanges but map-side partial
       // aggregation, so a node with 10^8 neighbors never lands in one task.
-      val useWindow = eFp._1 <= windowMaxEdges
-
-      // ---- large-star: link each larger neighbor b > a to
-      //      m(a) = min(Γ(a) ∪ {a})
-      val dir = e.select($"u".as("a"), $"v".as("b"))
-        .union(e.select($"v".as("a"), $"u".as("b")))
-      val large = if (useWindow) {
-        val wa = Window.partitionBy($"a")
-        dir.withColumn("m", least($"a", min($"b").over(wa)))
-          .filter($"b" > $"a")
-          .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
-          .filter($"u" =!= $"v")
-      } else {
-        val mins = dir.groupBy($"a")
-          .agg(min($"b").as("mn"))
-          .select($"a", least($"a", $"mn").as("m"))
-        // no intermediate distinct: duplicates stay bounded by |dir| = 2E
-        // and the small-star's closing distinct dedups — one less exchange
-        dir.join(mins, "a")
-          .filter($"b" > $"a")
-          .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
-          .filter($"u" =!= $"v")
-      }
-
-      // ---- small-star (over the large-star output, per the alternating
-      // schedule): direct big -> small, hook everything to the local min
-      val dir2 = large.select($"v".as("a"), $"u".as("b")) // a > b always
-      val hooked = if (useWindow) {
-        // min and row_number share one partitioning: a single exchange,
-        // and rn = 1 emits the (a, m) self-hook exactly once per node
-        // (replacing the distinct the join formulation needs)
-        val wa = Window.partitionBy($"a")
-        val wo = wa.orderBy($"b")
-        val withM = dir2
-          .withColumn("m", min($"b").over(wa))
-          .withColumn("rn", row_number().over(wo))
-        withM.select($"b".as("x"), $"m")
-          .union(withM.filter($"rn" === 1).select($"a".as("x"), $"m"))
-      } else {
-        val mins2 = dir2.groupBy($"a").agg(min($"b").as("m"))
-        val joined = dir2.join(mins2, "a")
-        joined.select($"b".as("x"), $"m")
-          .union(joined.select($"a".as("x"), $"m").distinct())
-      }
-      val small = hooked
-        .filter($"x" =!= $"m")
-        .select(least($"x", $"m").as("u"), greatest($"x", $"m").as("v"))
-        .distinct()
+      val small = starRound(e, useWindow = eFp._1 <= windowMaxEdges)
         .localCheckpoint(false)
 
       val smallFp = fingerprint(small)
@@ -195,6 +148,65 @@ object Graph {
     val labels = e.groupBy($"v".as("id")).agg(min($"u").as("component"))
     nodes.join(labels, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
+  }
+
+  /** One alternating large-star + small-star round over canonical edges
+    * `(u < v)`, in the given formulation. Package-visible so the plan-shape
+    * spec can pin the exchange counts (3 window / ≤6 groupBy+join) that the
+    * per-round latency argument rests on. */
+  private[pipeline] def starRound(e: DataFrame, useWindow: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+
+    // ---- large-star: link each larger neighbor b > a to
+    //      m(a) = min(Γ(a) ∪ {a})
+    val dir = e.select($"u".as("a"), $"v".as("b"))
+      .union(e.select($"v".as("a"), $"u".as("b")))
+    val large = if (useWindow) {
+      val wa = Window.partitionBy($"a")
+      dir.withColumn("m", least($"a", min($"b").over(wa)))
+        .filter($"b" > $"a")
+        .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
+        .filter($"u" =!= $"v")
+    } else {
+      val mins = dir.groupBy($"a")
+        .agg(min($"b").as("mn"))
+        .select($"a", least($"a", $"mn").as("m"))
+      // no intermediate distinct: duplicates stay bounded by |dir| = 2E
+      // and the small-star's closing distinct dedups — one less exchange
+      dir.join(mins, "a")
+        .filter($"b" > $"a")
+        .select(least($"b", $"m").as("u"), greatest($"b", $"m").as("v"))
+        .filter($"u" =!= $"v")
+    }
+
+    // ---- small-star (over the large-star output, per the alternating
+    // schedule): direct big -> small, hook everything to the local min
+    val dir2 = large.select($"v".as("a"), $"u".as("b")) // a > b always
+    val hooked = if (useWindow) {
+      // min and row_number share one partitioning (single exchange), and the
+      // rn = 1 row ALSO emits the (a, m) self-hook via explode — a union of
+      // two projections would duplicate the whole upstream subtree in the
+      // physical plan (each branch recomputing both window exchanges)
+      val wa = Window.partitionBy($"a")
+      val wo = wa.orderBy($"b")
+      dir2
+        .withColumn("m", min($"b").over(wa))
+        .withColumn("rn", row_number().over(wo))
+        .select(explode(when($"rn" === 1, array($"b", $"a"))
+          .otherwise(array($"b"))).as("x"), $"m")
+    } else {
+      // mins2 IS the distinct (a, m) set — unioning it directly avoids
+      // re-deriving it from the join output (which would both duplicate the
+      // join subtree and need its own distinct exchange)
+      val mins2 = dir2.groupBy($"a").agg(min($"b").as("m"))
+      dir2.join(mins2, "a").select($"b".as("x"), $"m")
+        .union(mins2.select($"a".as("x"), $"m"))
+    }
+    hooked
+      .filter($"x" =!= $"m")
+      .select(least($"x", $"m").as("u"), greatest($"x", $"m").as("v"))
+      .distinct()
   }
 
   /**

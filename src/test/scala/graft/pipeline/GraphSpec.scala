@@ -140,6 +140,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("starRound plan shape: 3 exchanges on the window path, bounded on the join path") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 5L), (3L, 5L)).toDF("u", "v")
+    def exchanges(useWindow: Boolean): Int = {
+      val plan = Graph.starRound(e, useWindow)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    }
+    // the per-round latency claim in the scaladoc/BENCH.md rests on these
+    assert(exchanges(useWindow = true) == 3,
+      "window-path round must cost exactly 3 shuffles")
+    assert(exchanges(useWindow = false) <= 6,
+      "groupBy+join round must stay within its documented bound")
+  }
+
   // ---------------------------------------------------------------- pagerank
   /** Sequential evaluation of the exact integer recurrence in the scaladoc. */
   private def seqPageRank(edges: Seq[(Long, Long)], iterations: Int,
