@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 44 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 45 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -392,6 +392,32 @@ object SparkEntry {
         .select(expr("id div 100000").cast("int").as("host"),
           expr("id % 100000").as("page"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("host"), col("page"))
+    }),
+
+    // the composed curation pipeline WITH the near-dup cluster stage
+    // (exact dup -> MinHash-LSH pairs over survivors -> CC clusters -> one
+    // keeper). By-construction corpus, closed-form in doc_id: groups of 5
+    // consecutive ids share a 60-word deterministic base text; member 1
+    // repeats the leader byte-exactly (exact-dup stage), members 2-4 append
+    // two id-keyed words (Jaccard ~0.94 — near-dup stage), leaders survive.
+    // The minhash/CC kernels aren't SQL-expressible, but the EXPECTED stage
+    // per doc is: kept/dup/neardup by doc_id % 5 (the q38 oracle pattern);
+    // content gates are configured open (qualityMin=-1, rate 1.0, single
+    // line, all-distinct words) so only the dedup stages can fire.
+    "q45_curate_neardup" -> ((s, dir) => {
+      val grpStr = expr("CAST(doc_id div 5 AS STRING)")
+      val baseWords = (1 to 60).map(i =>
+        substring(md5(concat(grpStr, lit("_" + i))), 1, 8))
+      val sfx = Seq("_s1", "_s2").map(k =>
+        substring(md5(concat(col("doc_id").cast("string"), lit(k))), 1, 8))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 5 >= 2, concat_ws(" ", (baseWords ++ sfx): _*))
+          .otherwise(concat_ws(" ", baseWords: _*)).as("text"),
+        lit("all").as("stratum"))
+      graft.pipeline.Curate.curateNearDup(docs, "text", "doc_id", "stratum",
+          Map("all" -> 1.0), qualityMin = -1.0, hashCol = lit(0L))
+        .orderBy("doc_id")
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -1124,6 +1150,17 @@ object SparkEntry {
         |  COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) = d.doc_id AS keep
         |FROM docs2 d LEFT JOIN comp c ON c.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // closed-form stage attribution of the planted 5-doc groups (see the
+    // query comment): member 1 is a byte-exact dup of the leader, members
+    // 2-4 are near-dups clustered by minhash+CC, leaders are kept; all
+    // content gates are configured open so no other stage can fire
+    "q45_curate_neardup" ->
+      """SELECT doc_id, 'all' AS stratum,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'dup'
+        |       WHEN doc_id % 5 = 0 THEN 'kept'
+        |       ELSE 'neardup' END AS stage
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

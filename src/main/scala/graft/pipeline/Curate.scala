@@ -41,6 +41,50 @@ object Curate {
       .select(col(idCol), col(stratumCol), col("stage"))
   }
 
+  /**
+   * [[curate]] with a NEAR-duplicate stage between exact dedup and the
+   * content gates: MinHash-LSH pairs over the exact-dedup survivors →
+   * [[Graph.dupClusters]] → one keeper per near-dup cluster. Attribution
+   * gains a `neardup` stage (first-match order: dup | neardup | repetition |
+   * quality | sample | kept).
+   *
+   * Scale shape unchanged: pair generation reads text once inside the
+   * signature projection ([[Dedup.minhashLshPairs]] — banded bucket
+   * equi-join, O(duplicates) shuffle), clustering shuffles only id pairs
+   * (O(log n) star rounds), and the keep flags rejoin on the id key the
+   * corpus is bucketed by. Running pairs on survivors (not the raw corpus)
+   * keeps exact-dup mass out of the LSH buckets — a 10^6-copy boilerplate
+   * page would otherwise put 10^6 ids in one bucket.
+   */
+  def curateNearDup(docs: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, rates: Map[String, Double], qualityMin: Double,
+      hashCol: Column,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val hashes = docs.select(col(idCol), md5(lower(col(textCol))).as("__h"))
+    val keepTbl = hashes.groupBy("__h").agg(min(col(idCol)).as("__keep_id"))
+    val assign = hashes.join(keepTbl, Seq("__h"))
+      .select(col(idCol), col("__keep_id"))
+    val withExact = docs.join(assign, Seq(idCol))
+
+    val survivors = withExact.filter(col(idCol) === col("__keep_id"))
+    val pairs = Dedup.minhashLshPairs(
+      survivors, textCol, idCol, numHashes, bands, shingleSize, threshold)
+    val ndKeep = Graph.dupClusters(
+        survivors.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("keep").as("__nd_keep"))
+
+    withExact.join(ndKeep, Seq(idCol), "left")
+      .withColumn("stage",
+        when(col(idCol) =!= col("__keep_id"), "dup")
+          .when(!coalesce(col("__nd_keep"), lit(true)), "neardup")
+          .when(!TextAnalysis.gopherKeep(col(textCol)), "repetition")
+          .when(TextAnalysis.qualityScore(col(textCol)) < qualityMin, "quality")
+          .when(hashCol >= Sampling.thresholdCol(col(stratumCol), rates, 0.0), "sample")
+          .otherwise("kept"))
+      .select(col(idCol), col(stratumCol), col("stage"))
+  }
+
   /** Attrition summary: docs per (stage), the monitoring view a pipeline
     * operator actually watches. */
   def attrition(curated: DataFrame): DataFrame =

@@ -311,6 +311,27 @@ class PipelineSpec extends AnyFunSuite {
       "quality" -> 1L, "sample" -> 1L))
   }
 
+  test("curateNearDup: near-dup clusters resolved to one keeper between exact dedup and the gates") {
+    // a 40-word base; doc 1 = base (leader), doc 2 = byte-exact copy (exact
+    // dup), docs 3-4 = base + distinct 2-word tails (near-dups: Jaccard
+    // ~0.90, above the 0.7 LSH threshold), doc 10 = unrelated text (kept)
+    val base = (1 to 40).map(i => s"w${i}x").mkString(" ")
+    val other = (1 to 40).map(i => s"z${i}q").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en"),
+      (2L, base, "en"),
+      (3L, base + " tail3a tail3b", "en"),
+      (4L, base + " tail4a tail4b", "en"),
+      (10L, other, "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curate.curateNearDup(docs, "text", "doc_id", "lang",
+        Map("en" -> 1.0), qualityMin = -1.0, hashCol = lit(0L))
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "en", "kept"), (2L, "en", "dup"), (3L, "en", "neardup"),
+      (4L, "en", "neardup"), (10L, "en", "kept")))
+  }
+
   test("token counts (ws + bpe-ish) and fingerprint") {
     val df = Seq((1L, "Hello, world! This is 42 tokens maybe."), (2L, "  ")).toDF("doc_id", "text")
     val out = df.select($"doc_id",
