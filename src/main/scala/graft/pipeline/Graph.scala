@@ -33,11 +33,26 @@ import org.apache.spark.sql.functions._
  *    have one answer regardless of summation order.
  *
  * Both operators iterate driver-side over DataFrames (the loop is control
- * flow only — all data stays distributed) and break lineage each round
- * with `localCheckpoint`; a production deployment pointed at a reliable
- * checkpoint dir would use `checkpoint` for executor-loss tolerance.
+ * flow only — all data stays distributed) and break lineage each round with
+ * a lazy checkpoint. By default that is `localCheckpoint` (executor-resident
+ * blocks — fastest, but an executor loss mid-run kills the job because the
+ * truncated lineage cannot recompute); when the SparkContext has a
+ * checkpoint dir configured, [[stepCheckpoint]] uses reliable `checkpoint`
+ * instead, so a multi-hour 10^10-edge run survives executor churn. The
+ * caller opts in exactly like the engine does: `setCheckpointDir` before
+ * calling.
  */
 object Graph {
+
+  /** Round-boundary lineage break: reliable `checkpoint` when the context
+    * has a checkpoint dir (executor loss mid-run is survivable — mandatory
+    * for long iterative runs on a real cluster), `localCheckpoint`
+    * otherwise (bench/local mode). Both LAZY: the plan is re-rooted now,
+    * materialization rides the caller's next action. */
+  private def stepCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Edge-count ceiling for the window-min star formulation (and PageRank's
     * window degree count): below it a whole-neighbor-set window partition is
@@ -85,7 +100,7 @@ object Graph {
       .select(col(srcCol).cast("long").as("id"))
       .union(edges0.select(col(dstCol).cast("long").as("id")))
       .distinct()
-      .localCheckpoint(false)
+      .transform(stepCheckpoint)
 
     // canonical simple undirected edges u < v; self-loops carry no
     // connectivity information
@@ -95,7 +110,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .localCheckpoint(false)
+      .transform(stepCheckpoint)
 
     // exact set-insensitive fingerprint: equal edge sets ALWAYS produce
     // equal fingerprints, so inequality proves progress without a join;
@@ -128,7 +143,7 @@ object Graph {
       // equi-join pipeline — ~2x the exchanges but map-side partial
       // aggregation, so a node with 10^8 neighbors never lands in one task.
       val small = starRound(e, useWindow = eFp._1 <= windowMaxEdges)
-        .localCheckpoint(false)
+        .transform(stepCheckpoint)
 
       val smallFp = fingerprint(small)
       converged = smallFp == eFp && small.except(e).isEmpty
@@ -272,11 +287,11 @@ object Graph {
     val e = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .transform(stepCheckpoint)
     val nodes = e.select($"src".as("id"))
       .union(e.select($"dst".as("id")))
       .distinct()
-      .localCheckpoint(false)
+      .transform(stepCheckpoint)
     val n = nodes.count()
     require(n > 0, "pageRankFixedPoint: empty graph")
 
@@ -292,7 +307,7 @@ object Graph {
         e.withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
       else
         e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src"))
-      .localCheckpoint(false)
+      .transform(stepCheckpoint)
     val init = scale / n
     val base = scale / n * (dampDen - dampNum) / dampDen
 
@@ -301,7 +316,7 @@ object Graph {
     // runs — the caller's single action computes the whole k-step chain,
     // persisting each step's RDD along the way (iteration k+1 reads k's
     // cached partitions, not its lineage)
-    var r = nodes.select($"id", lit(init).as("r")).localCheckpoint(false)
+    var r = nodes.select($"id", lit(init).as("r")).transform(stepCheckpoint)
     var k = 0
     while (k < iterations) {
       val sums = ed
@@ -311,7 +326,7 @@ object Graph {
       r = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select($"id",
           expr(s"$base + (coalesce(s, 0) * $dampNum) div $dampDen").as("r"))
-        .localCheckpoint(false)
+        .transform(stepCheckpoint)
       k += 1
     }
     r.select($"id", $"r".as("rank_fp"))

@@ -140,6 +140,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("reliable checkpoint mode (checkpoint dir set) produces identical results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph-ckpt").toString
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 8L), (5L, 5L))
+    val prEdges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 1L))
+    val ccLocal = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prLocal = Graph.pageRankFixedPoint(prEdges.toDF("s", "d"), "s", "d", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val ccRel = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prRel = Graph.pageRankFixedPoint(prEdges.toDF("s", "d"), "s", "d", 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ccRel == ccLocal)
+      assert(prRel == prLocal)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable mode must persist checkpoint files")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("starRound plan shape: 3 exchanges on the window path, bounded on the join path") {
     import spark.implicits._
     val e = Seq((0L, 1L), (1L, 2L), (2L, 5L), (3L, 5L)).toDF("u", "v")
