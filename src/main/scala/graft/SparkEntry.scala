@@ -410,11 +410,16 @@ object SparkEntry {
         substring(md5(concat(grpStr, lit("_" + i))), 1, 8))
       val sfx = Seq("_s1", "_s2").map(k =>
         substring(md5(concat(col("doc_id").cast("string"), lit(k))), 1, 8))
+      // cache: the text is a 60-md5 expression — without materialization,
+      // ProjectCollapsing inlines it into every downstream consumer (exact
+      // hash, shingles, gopher kernel, quality score), recomputing the
+      // whole wordbank per use (the q18 signature-cache lesson)
       val docs = t(s, dir, "documents").select(
         col("doc_id"),
         when(col("doc_id") % 5 >= 2, concat_ws(" ", (baseWords ++ sfx): _*))
           .otherwise(concat_ws(" ", baseWords: _*)).as("text"),
         lit("all").as("stratum"))
+        .cache()
       graft.pipeline.Curate.curateNearDup(docs, "text", "doc_id", "stratum",
           Map("all" -> 1.0), qualityMin = -1.0, hashCol = lit(0L))
         .orderBy("doc_id")
