@@ -410,16 +410,20 @@ object SparkEntry {
         substring(md5(concat(grpStr, lit("_" + i))), 1, 8))
       val sfx = Seq("_s1", "_s2").map(k =>
         substring(md5(concat(col("doc_id").cast("string"), lit(k))), 1, 8))
-      // cache: the text is a 60-md5 expression — without materialization,
-      // ProjectCollapsing inlines it into every downstream consumer (exact
-      // hash, shingles, gopher kernel, quality score), recomputing the
-      // whole wordbank per use (the q18 signature-cache lesson)
+      // materialize once (lazy local checkpoint): the text is a 60-md5
+      // expression — without materialization, ProjectCollapsing inlines it
+      // into every downstream consumer (exact hash, shingles, gopher
+      // kernel, quality score), recomputing the whole wordbank per use (the
+      // q18 signature-cache lesson). localCheckpoint, NOT cache: cache
+      // registers a catalog entry per invocation that nothing unpersists
+      // (Bench calls each query lambda N times per JVM), while checkpoint
+      // blocks are reference-tracked and freed on GC
       val docs = t(s, dir, "documents").select(
         col("doc_id"),
         when(col("doc_id") % 5 >= 2, concat_ws(" ", (baseWords ++ sfx): _*))
           .otherwise(concat_ws(" ", baseWords: _*)).as("text"),
         lit("all").as("stratum"))
-        .cache()
+        .localCheckpoint(false)
       graft.pipeline.Curate.curateNearDup(docs, "text", "doc_id", "stratum",
           Map("all" -> 1.0), qualityMin = -1.0, hashCol = lit(0L))
         .orderBy("doc_id")
@@ -1029,17 +1033,18 @@ object SparkEntry {
     (sb.toString, maxDepth)
   }
 
-  /** q44's oracle: the SiteGen link graph re-derived closed-form (the same
-    * edge rule q24's green oracle pins the extractor to, WITHOUT the robots
-    * exclusion — PageRank runs over the raw link graph) and the exact
-    * integer PageRank recurrence of [[graft.pipeline.Graph.pageRankFixedPoint]]
-    * unrolled `iters` times. All arithmetic is BIGINT with `//` mirroring
-    * Spark's `div`, so the ranks are bit-equal, not approximately equal.
-    * Branch-selected per scale factor via a seed guard like [[q24BfsCtes]]. */
   /** Single source of truth for q44's iteration count — the Spark query,
     * the CTE unrolling, and the final `FROM r<k>` selection all read it. */
   private val q44Iters = 10
 
+  /** q44's oracle: the SiteGen link graph re-derived closed-form (the same
+    * edge rule q24's green oracle pins the extractor to, WITHOUT the robots
+    * exclusion — PageRank runs over the raw link graph) and the exact
+    * integer PageRank recurrence of [[graft.pipeline.Graph.pageRankFixedPoint]]
+    * unrolled [[q44Iters]] times. All arithmetic is BIGINT with `//`
+    * mirroring Spark's `div`, so the ranks are bit-equal, not approximately
+    * equal. Branch-selected per scale factor via a seed guard like
+    * [[q24BfsCtes]]. */
   private def q44PrSql: String = {
     val a = q44PrCtes(pages = 200, suffix = "pa",
       guard = "(SELECT count(*) FROM documents) = 500")

@@ -26,20 +26,9 @@ object Curate {
 
   def curate(docs: DataFrame, textCol: String, idCol: String,
       stratumCol: String, rates: Map[String, Double], qualityMin: Double,
-      hashCol: Column): DataFrame = {
-    val hashes = docs.select(col(idCol), md5(lower(col(textCol))).as("__h"))
-    val keepTbl = hashes.groupBy("__h").agg(min(col(idCol)).as("__keep_id"))
-    val assign = hashes.join(keepTbl, Seq("__h"))
-      .select(col(idCol), col("__keep_id"))
-    docs.join(assign, Seq(idCol))
-      .withColumn("stage",
-        when(col(idCol) =!= col("__keep_id"), "dup")
-          .when(!TextAnalysis.gopherKeep(col(textCol)), "repetition")
-          .when(TextAnalysis.qualityScore(col(textCol)) < qualityMin, "quality")
-          .when(hashCol >= Sampling.thresholdCol(col(stratumCol), rates, 0.0), "sample")
-          .otherwise("kept"))
-      .select(col(idCol), col(stratumCol), col("stage"))
-  }
+      hashCol: Column): DataFrame =
+    curateImpl(docs, textCol, idCol, stratumCol, rates, qualityMin, hashCol,
+      nearDup = None)
 
   /**
    * [[curate]] with a NEAR-duplicate stage between exact dedup and the
@@ -60,24 +49,45 @@ object Curate {
       stratumCol: String, rates: Map[String, Double], qualityMin: Double,
       hashCol: Column,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    curateImpl(docs, textCol, idCol, stratumCol, rates, qualityMin, hashCol,
+      nearDup = Some(NearDupCfg(numHashes, bands, shingleSize, threshold)))
+
+  private final case class NearDupCfg(
+      numHashes: Int, bands: Int, shingleSize: Int, threshold: Double)
+
+  /** Shared pipeline body: both public entry points differ ONLY by the
+    * optional near-dup stage, so the exact-dedup assignment and the gate
+    * chain exist exactly once (a divergence between two copies would
+    * silently split the pipelines' stage attribution). With `nearDup`
+    * absent the `__nd_keep` guard is a constant `true` Catalyst folds
+    * away. */
+  private def curateImpl(docs: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, rates: Map[String, Double], qualityMin: Double,
+      hashCol: Column, nearDup: Option[NearDupCfg]): DataFrame = {
     val hashes = docs.select(col(idCol), md5(lower(col(textCol))).as("__h"))
     val keepTbl = hashes.groupBy("__h").agg(min(col(idCol)).as("__keep_id"))
     val assign = hashes.join(keepTbl, Seq("__h"))
       .select(col(idCol), col("__keep_id"))
     val withExact = docs.join(assign, Seq(idCol))
 
-    val survivors = withExact.filter(col(idCol) === col("__keep_id"))
-    val pairs = Dedup.minhashLshPairs(
-      survivors, textCol, idCol, numHashes, bands, shingleSize, threshold)
-    val ndKeep = Graph.dupClusters(
-        survivors.select(col(idCol)), idCol, pairs, "id_a", "id_b")
-      .select(col("id").as(idCol), col("keep").as("__nd_keep"))
+    val withNd = nearDup match {
+      case None => withExact.withColumn("__nd_keep", lit(true))
+      case Some(cfg) =>
+        val survivors = withExact.filter(col(idCol) === col("__keep_id"))
+        val pairs = Dedup.minhashLshPairs(survivors, textCol, idCol,
+          cfg.numHashes, cfg.bands, cfg.shingleSize, cfg.threshold)
+        val ndKeep = Graph.dupClusters(
+            survivors.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+          .select(col("id").as(idCol), col("keep").as("__nd_keep"))
+        withExact.join(ndKeep, Seq(idCol), "left")
+          .withColumn("__nd_keep", coalesce(col("__nd_keep"), lit(true)))
+    }
 
-    withExact.join(ndKeep, Seq(idCol), "left")
+    withNd
       .withColumn("stage",
         when(col(idCol) =!= col("__keep_id"), "dup")
-          .when(!coalesce(col("__nd_keep"), lit(true)), "neardup")
+          .when(!col("__nd_keep"), "neardup")
           .when(!TextAnalysis.gopherKeep(col(textCol)), "repetition")
           .when(TextAnalysis.qualityScore(col(textCol)) < qualityMin, "quality")
           .when(hashCol >= Sampling.thresholdCol(col(stratumCol), rates, 0.0), "sample")

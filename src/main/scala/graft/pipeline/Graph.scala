@@ -44,15 +44,49 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
-  /** Round-boundary lineage break: reliable `checkpoint` when the context
-    * has a checkpoint dir (executor loss mid-run is survivable — mandatory
-    * for long iterative runs on a real cluster), `localCheckpoint`
-    * otherwise (bench/local mode). Both LAZY: the plan is re-rooted now,
-    * materialization rides the caller's next action. */
+  /** Round-boundary lineage break.
+    *
+    * Local mode (no checkpoint dir): LAZY `localCheckpoint` — the plan is
+    * re-rooted now and materialization rides the caller's next action, so a
+    * round costs exactly one job. Fastest, but an executor loss mid-run
+    * kills the job (truncated lineage cannot recompute).
+    *
+    * Reliable mode (checkpoint dir set): persist + EAGER `checkpoint`. Both
+    * halves are load-bearing: a lazy reliable checkpoint only *marks* the
+    * RDD, and `doCheckpoint` at the eventual action checkpoints just the
+    * first marked ancestor (`spark.checkpoint.checkpointAllMarkedAncestors`
+    * defaults false) — intermediates would never be written and the final
+    * write would recompute the whole chain. The persist makes the
+    * checkpoint-write job read the partitions the materializing job just
+    * produced instead of recomputing them (Spark's own scaladoc warning on
+    * `RDD.checkpoint`); it is dropped as soon as the reliable copy exists.
+    * The extra job per round is the price of surviving executor churn on a
+    * multi-hour run. Superseded rounds are deleted by [[dropCheckpoint]]
+    * (see the loops) so the checkpoint dir holds O(1) edge-set copies, not
+    * O(rounds). */
   private def stepCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = p.checkpoint(eager = true)
+      p.unpersist(blocking = false)
+      c
+    } else df.localCheckpoint(eager = false)
+
+  /** Release a SUPERSEDED round's checkpoint: delete its reliable
+    * checkpoint files (if any) and free its storage blocks. Must only be
+    * called once every consumer of the frame has run — the data is
+    * unrecoverable afterwards. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Edge-count ceiling for the window-min star formulation (and PageRank's
     * window degree count): below it a whole-neighbor-set window partition is
@@ -147,6 +181,11 @@ object Graph {
 
       val smallFp = fingerprint(small)
       converged = smallFp == eFp && small.except(e).isEmpty
+      // the superseded round has no consumers left (its fingerprint and the
+      // except above both ran, and it is materialized in either mode):
+      // free its blocks / delete its reliable files so the run holds O(1)
+      // edge-set copies, not O(rounds)
+      dropCheckpoint(e)
       e = small
       eFp = smallFp
       iter += 1
@@ -311,11 +350,16 @@ object Graph {
     val init = scale / n
     val base = scale / n * (dampDen - dampNum) / dampDen
 
-    // every checkpoint is LAZY: the plan is re-rooted at a LogicalRDD each
-    // iteration (constant-size Catalyst plan), but NO per-iteration action
-    // runs — the caller's single action computes the whole k-step chain,
-    // persisting each step's RDD along the way (iteration k+1 reads k's
-    // cached partitions, not its lineage)
+    // Local mode: every checkpoint is LAZY — the plan is re-rooted at a
+    // LogicalRDD each iteration (constant-size Catalyst plan) but NO
+    // per-iteration action runs; the caller's single action computes the
+    // whole k-step chain, persisting each step's RDD along the way
+    // (iteration k+1 reads k's cached partitions, not its lineage).
+    // Reliable mode: each iteration is eagerly checkpointed (stepCheckpoint)
+    // and the SUPERSEDED rank frame's files/blocks are dropped — an
+    // unpersist would corrupt a merely-*marked* lazy local checkpoint, so
+    // rotation only runs in the mode where frames are materialized.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     var r = nodes.select($"id", lit(init).as("r")).transform(stepCheckpoint)
     var k = 0
     while (k < iterations) {
@@ -323,10 +367,12 @@ object Graph {
         .join(r, ed("src") === r("id"))
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      r = nodes.join(sums, nodes("id") === sums("dst"), "left")
+      val rNext = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select($"id",
           expr(s"$base + (coalesce(s, 0) * $dampNum) div $dampDen").as("r"))
         .transform(stepCheckpoint)
+      if (reliable) dropCheckpoint(r)
+      r = rNext
       k += 1
     }
     r.select($"id", $"r".as("rank_fp"))

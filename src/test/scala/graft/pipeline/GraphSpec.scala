@@ -158,8 +158,10 @@ class GraphSpec extends AnyFunSuite {
       assert(ccRel == ccLocal)
       assert(prRel == prLocal)
       // the reliable path actually wrote checkpoint data
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      val wrote = scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { st =>
+        st.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      }
       assert(wrote > 0, "reliable mode must persist checkpoint files")
     } finally {
       spark.sparkContext.setCheckpointDir(null)
