@@ -51,5 +51,13 @@ case "${1:-protocol}" in
         echo "{\"round\":$r,${line#\{}"
       done
     done ;;
-  *) echo "usage: $0 [prep|probe|protocol|ab]" >&2; exit 2 ;;
+  graph)
+    # N->4N sample for the graph-operator family: connected components over
+    # the same seeded 3M-edge graph at 8 then 32 cores (above the window
+    # threshold -> the at-scale groupBy+join star path). Checksums must be
+    # equal across core counts (partitioning-independence evidence).
+    for c in 8 32; do
+      run_java graft.GraphBench "$c" 2>/dev/null | tail -1
+    done ;;
+  *) echo "usage: $0 [prep|probe|protocol|ab|graph]" >&2; exit 2 ;;
 esac
