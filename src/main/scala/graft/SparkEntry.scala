@@ -429,6 +429,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // semantic dedup (SemDeDup, arXiv:2303.09540): k-means over embeddings,
+    // then pairwise-cosine pruning WITHIN clusters only. EXACT-RECOMPUTE
+    // oracle: embeddings are planted closed-form in doc_id with exactly-
+    // representable integer components (cluster axis 2*(id%4) = 100, jitter
+    // axis = 10*((id div 4)%7), shared epsilon dim = (id div 28)%3), so the
+    // one Lloyd round's centroid means are EXACT doubles on both sides and
+    // DuckDB replays the full recurrence: assign vs one-hot seeds ->
+    // element-wise mean -> reassign -> typicality cosine -> within-cluster
+    // pairwise >= tau. Decision margins are engineered (same-class cosine
+    // >= 0.9998 vs tau 0.999 vs cross-jitter <= 0.9971), so every
+    // cluster/keep decision is float-robust; typicality follows the
+    // q17/q21 round-to-4 convention.
+    "q46_semdedup" -> ((s, dir) => {
+      val tc = pmod(col("doc_id"), lit(4)).cast("int")
+      val jit = (pmod(expr("doc_id div 4"), lit(7)) * 10).cast("double")
+      val eps = pmod(expr("doc_id div 28"), lit(3)).cast("double")
+      val emb = array((0 until 9).map { i =>
+        if (i == 8) eps
+        else if (i % 2 == 0) when(tc === i / 2, lit(100.0)).otherwise(lit(0.0))
+        else when(tc === i / 2, jit).otherwise(lit(0.0))
+      }: _*)
+      // materialize once (q45 rationale): the 9-branch array expression is
+      // consumed by the partial-sum scan, the assignment scan, and both
+      // sides of the pairwise self-join
+      val docs = t(s, dir, "documents").select(col("doc_id"), emb.as("emb"))
+        .localCheckpoint(false)
+      graft.pipeline.SemDedup.semDedup(docs, "emb", "doc_id",
+          init = Array.tabulate(4, 9)((c, i) => if (i == 2 * c) 1.0 else 0.0),
+          iters = 1, tau = 0.999)
+        .select(col("doc_id"), col("cluster"),
+          round(col("typicality"), 4).as("typicality"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1171,6 +1205,76 @@ object SparkEntry {
         |       WHEN doc_id % 5 = 0 THEN 'kept'
         |       ELSE 'neardup' END AS stage
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full replay of the one-Lloyd-round SemDedup recurrence (see the q46
+    // query comment): planted integer-component embeddings make the
+    // centroid means exact, so assignment/typicality/pairwise decisions
+    // recompute bit-for-bit; ties in the argmax CASE chains resolve to the
+    // lowest cluster index, same as the Spark kernel
+    "q46_semdedup" ->
+      """WITH emb AS (
+        |  SELECT doc_id, [
+        |    CASE WHEN doc_id % 4 = 0 THEN 100.0 ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN CAST(10 * ((doc_id // 4) % 7) AS DOUBLE) ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 1 THEN 100.0 ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 1
+        |         THEN CAST(10 * ((doc_id // 4) % 7) AS DOUBLE) ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 2 THEN 100.0 ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 2
+        |         THEN CAST(10 * ((doc_id // 4) % 7) AS DOUBLE) ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 3 THEN 100.0 ELSE 0.0 END,
+        |    CASE WHEN doc_id % 4 = 3
+        |         THEN CAST(10 * ((doc_id // 4) % 7) AS DOUBLE) ELSE 0.0 END,
+        |    CAST((doc_id // 28) % 3 AS DOUBLE)
+        |  ] AS v
+        |  FROM documents
+        |), a1 AS (
+        |  SELECT doc_id, v,
+        |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+        |         WHEN s1 >= s2 AND s1 >= s3 THEN 1
+        |         WHEN s2 >= s3 THEN 2 ELSE 3 END AS c
+        |  FROM (
+        |    SELECT doc_id, v,
+        |      list_cosine_similarity(v, [1.0,0,0,0,0,0,0,0,0]) AS s0,
+        |      list_cosine_similarity(v, [0,0,1.0,0,0,0,0,0,0]) AS s1,
+        |      list_cosine_similarity(v, [0,0,0,0,1.0,0,0,0,0]) AS s2,
+        |      list_cosine_similarity(v, [0,0,0,0,0,0,1.0,0,0]) AS s3
+        |    FROM emb) s
+        |), cent AS (
+        |  SELECT c, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT a1.c, p.pos, avg(v[p.pos]) AS m
+        |    FROM a1, (SELECT unnest(range(1, 10)) AS pos) p
+        |    GROUP BY a1.c, p.pos) g
+        |  GROUP BY c
+        |), a2 AS (
+        |  SELECT doc_id, v,
+        |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+        |         WHEN s1 >= s2 AND s1 >= s3 THEN 1
+        |         WHEN s2 >= s3 THEN 2 ELSE 3 END AS c
+        |  FROM (
+        |    SELECT e.doc_id, e.v,
+        |      list_cosine_similarity(e.v, c0.cv) AS s0,
+        |      list_cosine_similarity(e.v, c1.cv) AS s1,
+        |      list_cosine_similarity(e.v, c2.cv) AS s2,
+        |      list_cosine_similarity(e.v, c3.cv) AS s3
+        |    FROM a1 e,
+        |      (SELECT cv FROM cent WHERE c = 0) c0,
+        |      (SELECT cv FROM cent WHERE c = 1) c1,
+        |      (SELECT cv FROM cent WHERE c = 2) c2,
+        |      (SELECT cv FROM cent WHERE c = 3) c3) s
+        |), dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM a2 a JOIN a2 b ON a.c = b.c AND a.doc_id < b.doc_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        |)
+        |SELECT a.doc_id, a.c AS cluster,
+        |  round(list_cosine_similarity(a.v, ct.cv), 4) AS typicality,
+        |  (d.doc_id IS NULL) AS keep
+        |FROM a2 a
+        |JOIN cent ct ON ct.c = a.c
+        |LEFT JOIN dropped d ON d.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
