@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 45 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 46 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -1210,7 +1210,10 @@ object SparkEntry {
     // query comment): planted integer-component embeddings make the
     // centroid means exact, so assignment/typicality/pairwise decisions
     // recompute bit-for-bit; ties in the argmax CASE chains resolve to the
-    // lowest cluster index, same as the Spark kernel
+    // lowest cluster index, same as the Spark kernel. ASSUMES all four
+    // doc_id % 4 residue classes are populated (true for every sf dir —
+    // contiguous ids): an absent class would empty the a2 cross join,
+    // where the kernel would keep the seed centroid instead.
     "q46_semdedup" ->
       """WITH emb AS (
         |  SELECT doc_id, [

@@ -64,29 +64,11 @@ object Graph {
     * multi-hour run. Superseded rounds are deleted by [[dropCheckpoint]]
     * (see the loops) so the checkpoint dir holds O(1) edge-set copies, not
     * O(rounds). */
-  private def stepCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c = p.checkpoint(eager = true)
-      p.unpersist(blocking = false)
-      c
-    } else df.localCheckpoint(eager = false)
+  private def stepCheckpoint(df: DataFrame): DataFrame = Checkpoints.step(df)
 
-  /** Release a SUPERSEDED round's checkpoint: delete its reliable
-    * checkpoint files (if any) and free its storage blocks. Must only be
-    * called once every consumer of the frame has run — the data is
-    * unrecoverable afterwards. */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(p, true)
-        }
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  /** See [[Checkpoints.drop]]: release a SUPERSEDED round's checkpoint
+    * once every consumer of the frame has run. */
+  private def dropCheckpoint(df: DataFrame): Unit = Checkpoints.drop(df)
 
   /** Edge-count ceiling for the window-min star formulation (and PageRank's
     * window degree count): below it a whole-neighbor-set window partition is

@@ -107,8 +107,10 @@ object SemDedup {
     cents
   }
 
-  /** (id, vec, cluster) against fixed final centroids — one codegen-free
-    * Scala-kernel scan, no join (the q37 IVF-assignment layout). */
+  /** (id, vec, norm, cluster) against fixed final centroids — one
+    * codegen-free Scala-kernel scan, no join (the q37 IVF-assignment
+    * layout). The row norm is computed here ONCE so the quadratic pairwise
+    * stage pays only a dot product per pair, not three. */
   private def assign(df: DataFrame, vecCol: String, idCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     val spark = df.sparkSession
@@ -118,9 +120,14 @@ object SemDedup {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (cs, ns) = cb.value
-        it.map { case (id, v) => (id, v, nearest(cs, ns, v)) }
+        it.map { case (id, v) =>
+          var na = 0.0
+          var i = 0
+          while (i < v.length) { na += v(i) * v(i); i += 1 }
+          (id, v, math.sqrt(na), nearest(cs, ns, v))
+        }
       }
-      .toDF("id", "v", "cluster")
+      .toDF("id", "v", "norm", "cluster")
   }
 
   /** Full SemDedup: k-means (fixed seed centroids, `iters` Lloyd rounds),
@@ -133,7 +140,10 @@ object SemDedup {
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
       init: Array[Array[Double]], iters: Int, tau: Double): DataFrame = {
     val cents = kmeansCentroids(df, vecCol, init, iters)
-    val assigned = assign(df, vecCol, idCol, cents).localCheckpoint(false)
+    // Checkpoints.step, not a bare localCheckpoint: with a checkpoint dir
+    // configured the assigned frame survives executor loss through the
+    // quadratic pairwise join (the Graph-round policy)
+    val assigned = Checkpoints.step(assign(df, vecCol, idCol, cents))
 
     // typicality via the SAME left-to-right fold order as
     // Similarity.cosineCol / DuckDB's list_cosine_similarity: dot, then
@@ -146,20 +156,22 @@ object SemDedup {
     // pairwise stage: one shuffle by cluster, a.id < b.id, Scala-kernel
     // cosine (interpreted higher-order-function Columns measured ~2ms/row
     // in the q37 audit; the pair volume is quadratic in occupancy, so the
-    // kernel matters here)
-    val pairCos = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    // kernel matters here). Norms ride the rows from the assignment scan,
+    // so each pair pays one dot product — same doubles as the recompute:
+    // dot / (sqrt(na) * sqrt(nb)) with the sqrts hoisted per row.
+    val pairCos = udf { (a: Seq[Double], b: Seq[Double], na: Double, nb: Double) =>
+      var dot = 0.0; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { dot += a(i) * b(i); i += 1 }
-      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
-      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
     }
-    val x = assigned.select(col("id").as("a_id"), col("v").as("a_v"), col("cluster"))
-    val y = assigned.select(col("id").as("b_id"), col("v").as("b_v"), col("cluster"))
+    val x = assigned.select(col("id").as("a_id"), col("v").as("a_v"),
+      col("norm").as("a_n"), col("cluster"))
+    val y = assigned.select(col("id").as("b_id"), col("v").as("b_v"),
+      col("norm").as("b_n"), col("cluster"))
     val dropped = x.join(y, "cluster")
       .filter(col("a_id") < col("b_id"))
-      .filter(pairCos(col("a_v"), col("b_v")) >= tau)
+      .filter(pairCos(col("a_v"), col("b_v"), col("a_n"), col("b_n")) >= tau)
       .select(col("b_id").as("id"))
       .distinct()
 

@@ -148,6 +148,30 @@ class SemDedupSpec extends AnyFunSuite {
     assert(run(2) == run(13))
   }
 
+  test("reliable checkpoint mode (checkpoint dir set) produces identical results") {
+    val rows = (0L until 90L).map(i => (i, vec(i)))
+    val init = Array(Array(1.0, 0, 0, 0, 0, 0), Array(0.0, 0, 1.0, 0, 0, 0),
+      Array(0.0, 0, 0, 0, 1.0, 0))
+    def run() = SemDedup.semDedup(rows.toDF("id", "emb"), "emb", "id",
+        init, iters = 2, tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(run() == local)
+      val wrote = scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { st =>
+        st.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      }
+      assert(wrote > 0, "reliable mode must persist checkpoint files")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("empty cluster keeps its previous centroid") {
     val rows = Seq((1L, Array(10.0, 0.0)), (2L, Array(12.0, 1.0)))
     val init = Array(Array(1.0, 0.0), Array(0.0, 1.0)) // nothing lands in #1
