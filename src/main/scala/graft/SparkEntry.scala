@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 46 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 47 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -460,6 +460,40 @@ object SparkEntry {
           iters = 1, tau = 0.999)
         .select(col("doc_id"), col("cluster"),
           round(col("typicality"), 4).as("typicality"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style data selection (arXiv:2302.03169): hashed-bigram
+    // importance weights learned target-vs-raw, then a per-doc weighted
+    // score gates selection. INJECTABLE-DETERMINISM oracle (the q40
+    // pattern): the bucket fn is an SQL-replayable arithmetic over word
+    // lengths/first chars (production default is xxHash64 — covered by
+    // DsirSpec), and the weight transform is the exact integer
+    // 3*ct - cr, so every count, weight and score is an exact-integer
+    // double DuckDB recomputes bit-for-bit. Target membership is planted:
+    // doc_id % 3 == 0 docs carry 10 repetitions of a marker bigram, giving
+    // them a score mass of >= 720x the target count while non-members only
+    // collect distributional noise (< 270x) — the 500x threshold sits
+    // between the two bands at both verify scales (measured at the
+    // q47ThresholdPerTarget doc; the oracle is exact regardless of where
+    // the threshold falls).
+    "q47_dsir_select" -> ((s, dir) => {
+      val bucketFn = (a: String, b: String) =>
+        (a.length * 31 + b.length * 17 + a.charAt(0).toInt * 7 + b.charAt(0).toInt) % 64
+      // planted marker: feeds three kernel scans (target counts, raw
+      // counts, scoring) -> materialize once (q45 rationale)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" dsira dsirb" * 10)))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint(false)
+      val target = docs.filter(col("doc_id") % 3 === 0)
+      val diffWeights = (ct: Array[Long], cr: Array[Long]) =>
+        Array.tabulate(ct.length)(b => (3L * ct(b) - cr(b)).toDouble)
+      val w = graft.pipeline.Dsir.learnWeights(target, docs, "text",
+        buckets = 64, bucket = bucketFn, transform = diffWeights)
+      graft.pipeline.Dsir.select(docs, "text", "doc_id", w, bucketFn,
+          threshold = q47ThresholdPerTarget * target.count())
         .orderBy("doc_id")
     }),
 
@@ -928,6 +962,14 @@ object SparkEntry {
 
   /** Synthetic eval-set sentences for q38: 5 sentences x 15 unique tokens
     * that cannot occur in the corpus, so 13-gram hits are closed-form. */
+  /** q47 selection threshold per target doc (shared with the oracle SQL
+    * verbatim): scores scale ~linearly with corpus size (weights carry the
+    * raw counts), so the gate scales by the target count. 500x sits inside
+    * the planted/noise gap at both verify scales — measured bands
+    * sf0.01: noise <= 27,080 < 500*167 = 83,500 < target >= 120,381;
+    * sf0.1: noise <= 446,559 < 500*1,667 = 833,500 < target >= 1,201,064. */
+  private val q47ThresholdPerTarget: Double = 500.0
+
   private val benchSentences: Seq[String] =
     (0 until 5).map(k => (0 until 15).map(j => s"evaltok${k}x$j").mkString(" "))
 
@@ -1278,6 +1320,50 @@ object SparkEntry {
         |JOIN cent ct ON ct.c = a.c
         |LEFT JOIN dropped d ON d.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+
+    // exact replay of the DSIR featurize -> learn -> score recurrence (see
+    // the q47 query comment): the injected bucket arithmetic and the
+    // integer 3*ct - cr transform keep every intermediate an exact-integer
+    // double, so sums are order-independent and bit-equal. Buckets absent
+    // from the raw counts carry weight 0 on the Spark side and simply
+    // never join here — identical scores either way.
+    "q47_dsir_select" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || repeat(' dsira dsirb', 10) ELSE text END AS t
+         |  FROM documents
+         |), wrds AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS ws
+         |  FROM planted
+         |), bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)), i ->
+         |      (length(ws[i]) * 31 + length(ws[i + 1]) * 17
+         |       + ascii(substr(ws[i], 1, 1)) * 7
+         |       + ascii(substr(ws[i + 1], 1, 1))) % 64)) AS b
+         |  FROM wrds
+         |), ct AS (
+         |  SELECT b, count(*) AS c FROM bg WHERE doc_id % 3 = 0 GROUP BY b
+         |), cr AS (
+         |  SELECT b, count(*) AS c FROM bg GROUP BY b
+         |), w AS (
+         |  SELECT cr.b,
+         |    CAST(3 * coalesce(ct.c, 0) - cr.c AS DOUBLE) AS wt
+         |  FROM cr LEFT JOIN ct ON ct.b = cr.b
+         |), sc AS (
+         |  SELECT g.doc_id, CAST(sum(w.wt) AS DOUBLE) AS score
+         |  FROM bg g JOIN w ON w.b = g.b GROUP BY g.doc_id
+         |), thr AS (
+         |  SELECT ${q47ThresholdPerTarget} * count(*) AS v
+         |  FROM documents WHERE doc_id % 3 = 0
+         |)
+         |SELECT p.doc_id, coalesce(s.score, 0.0) AS score,
+         |  coalesce(s.score, 0.0) >= thr.v AS keep
+         |FROM planted p
+         |LEFT JOIN sc s ON s.doc_id = p.doc_id
+         |CROSS JOIN thr
+         |ORDER BY p.doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
