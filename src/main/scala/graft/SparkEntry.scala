@@ -487,13 +487,15 @@ object SparkEntry {
           concat(col("text"), lit(" dsira dsirb" * 10)))
           .otherwise(col("text")).as("text"))
         .localCheckpoint(false)
-      val target = docs.filter(col("doc_id") % 3 === 0)
       val diffWeights = (ct: Array[Long], cr: Array[Long]) =>
         Array.tabulate(ct.length)(b => (3L * ct(b) - cr(b)).toDouble)
-      val w = graft.pipeline.Dsir.learnWeights(target, docs, "text",
+      // subset fast path: ONE learn scan yields target counts, raw counts
+      // and the target doc count together
+      val (w, nt) = graft.pipeline.Dsir.learnWeightsSubset(docs, "text",
+        targetCol = col("doc_id") % 3 === 0,
         buckets = 64, bucket = bucketFn, transform = diffWeights)
       graft.pipeline.Dsir.select(docs, "text", "doc_id", w, bucketFn,
-          threshold = q47ThresholdPerTarget * target.count())
+          threshold = q47ThresholdPerTarget * nt)
         .orderBy("doc_id")
     }),
 
@@ -960,8 +962,6 @@ object SparkEntry {
       "nil" -> JNull)
   }
 
-  /** Synthetic eval-set sentences for q38: 5 sentences x 15 unique tokens
-    * that cannot occur in the corpus, so 13-gram hits are closed-form. */
   /** q47 selection threshold per target doc (shared with the oracle SQL
     * verbatim): scores scale ~linearly with corpus size (weights carry the
     * raw counts), so the gate scales by the target count. 500x sits inside
@@ -970,6 +970,8 @@ object SparkEntry {
     * sf0.1: noise <= 446,559 < 500*1,667 = 833,500 < target >= 1,201,064. */
   private val q47ThresholdPerTarget: Double = 500.0
 
+  /** Synthetic eval-set sentences for q38: 5 sentences x 15 unique tokens
+    * that cannot occur in the corpus, so 13-gram hits are closed-form. */
   private val benchSentences: Seq[String] =
     (0 until 5).map(k => (0 until 15).map(j => s"evaltok${k}x$j").mkString(" "))
 

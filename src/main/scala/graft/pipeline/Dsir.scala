@@ -86,13 +86,58 @@ object Dsir {
   }
 
   /** Learn weights from a target corpus vs the raw pool (two bounded
-    * scans), applying `transform` to the two count arrays. */
+    * scans), applying `transform` to the two count arrays. When the target
+    * is a membership predicate over the raw pool, prefer
+    * [[learnWeightsSubset]] — it pays ONE scan instead of two. */
   def learnWeights(target: DataFrame, raw: DataFrame, textCol: String,
       buckets: Int, bucket: (String, String) => Int,
       transform: (Array[Long], Array[Long]) => Array[Double] = logRatioWeights)
       : Array[Double] =
     transform(bigramBucketCounts(target, textCol, buckets, bucket),
       bigramBucketCounts(raw, textCol, buckets, bucket))
+
+  /** Subset fast path: when the target corpus IS `raw.filter(targetCol)`,
+    * one kernel scan yields both bucket-count arrays AND the target doc
+    * count (for count-scaled thresholds) — at the 100 TB pool size this
+    * halves the learn cost vs [[learnWeights]] and drops the separate
+    * count job. Returns (weights, targetDocCount); counts are exactly
+    * those the two-scan path produces. */
+  def learnWeightsSubset(raw: DataFrame, textCol: String,
+      targetCol: org.apache.spark.sql.Column, buckets: Int,
+      bucket: (String, String) => Int,
+      transform: (Array[Long], Array[Long]) => Array[Double] = logRatioWeights)
+      : (Array[Double], Long) = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // flat (raw counts ++ target counts ++ [target docs]) per partition
+    val partials = raw
+      .select(col(textCol).cast("string"), targetCol.cast("boolean"))
+      .as[(String, Boolean)]
+      .mapPartitions { it =>
+        val acc = new Array[Long](2 * buckets + 1)
+        it.foreach { case (text, isTarget) =>
+          val ws = words(text)
+          var i = 0
+          while (i < ws.length - 1) {
+            val b = bucket(ws(i), ws(i + 1))
+            acc(b) += 1L
+            if (isTarget) acc(buckets + b) += 1L
+            i += 1
+          }
+          if (isTarget) acc(2 * buckets) += 1L
+        }
+        Iterator.single(acc)
+      }.collect()
+    val cr = new Array[Long](buckets)
+    val ct = new Array[Long](buckets)
+    var nt = 0L
+    partials.foreach { p =>
+      var b = 0
+      while (b < buckets) { cr(b) += p(b); ct(b) += p(buckets + b); b += 1 }
+      nt += p(2 * buckets)
+    }
+    (transform(ct, cr), nt)
+  }
 
   /** Score every document (sum of its bigrams' bucket weights, 0.0 for
     * <2-word docs) and flag `keep = score >= threshold`. One kernel scan

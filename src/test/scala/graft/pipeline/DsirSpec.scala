@@ -65,6 +65,19 @@ class DsirSpec extends AnyFunSuite {
     assert(out(6)._2 == 0.0 && out(7)._2 == 0.0) // "x" and "" have no bigram
   }
 
+  test("learnWeightsSubset (one scan) equals learnWeights (two scans) on a subset target") {
+    import org.apache.spark.sql.functions.col
+    val df = rawTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(3)
+    val target = df.filter(col("id") < 3)
+    val two = Dsir.learnWeights(target, df, "text", B, bucketFn,
+      (ct, cr) => Array.tabulate(B)(b => (3L * ct(b) - cr(b)).toDouble))
+    val (one, nt) = Dsir.learnWeightsSubset(df, "text", col("id") < 3, B, bucketFn,
+      (ct, cr) => Array.tabulate(B)(b => (3L * ct(b) - cr(b)).toDouble))
+    assert(one.toSeq == two.toSeq)
+    assert(nt == 3L)
+  }
+
   test("production path: xxBucket + logRatioWeights ranks target-like docs higher") {
     val bf = Dsir.xxBucket(Dsir.DefaultBuckets)
     val target = targetTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
