@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 47 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 48 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -497,6 +497,39 @@ object SparkEntry {
       graft.pipeline.Dsir.select(docs, "text", "doc_id", w, bucketFn,
           threshold = q47ThresholdPerTarget * nt)
         .orderBy("doc_id")
+    }),
+
+    // incremental-recrawl delta (snapshot diffing + adaptive revisit
+    // intervals, Cho & Garcia-Molina 2003): BY-CONSTRUCTION oracle — both
+    // snapshots are synthesized closed-form in doc_id (gone = id%7==3,
+    // changed = id%5==1 via a different md5 preimage, new = id%6==0 under
+    // a +100000 shift, carried intervals = 7200*(id%4+1)), so DuckDB
+    // re-derives the same two tables and replays the same full-outer join
+    // + when-chain policy. The REAL operator runs: one url-keyed
+    // full-outer join carrying only (url, hash, ts, interval).
+    "q48_recrawl_delta" -> ((s, dir) => {
+      def urlOf(idc: org.apache.spark.sql.Column) =
+        concat(lit("https://host"), pmod(idc, lit(40)), lit(".example.test/p"), idc)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val prev = ids.select(
+        urlOf(col("doc_id")).as("url"),
+        md5(concat(lit("h"), col("doc_id"))).as("content_hash"),
+        (col("doc_id") + 1000000L).as("fetch_ts"),
+        (lit(7200L) * (pmod(col("doc_id"), lit(4)) + 1)).as("interval_secs"))
+      val curr = ids.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(
+          urlOf(col("doc_id")).as("url"),
+          when(pmod(col("doc_id"), lit(5)) === 1,
+            md5(concat(lit("x"), col("doc_id"))))
+            .otherwise(md5(concat(lit("h"), col("doc_id")))).as("content_hash"),
+          (col("doc_id") + 2000000L).as("fetch_ts"))
+        .unionByName(ids.filter(pmod(col("doc_id"), lit(6)) === 0).select(
+          urlOf(col("doc_id") + 100000).as("url"),
+          md5(concat(lit("h"), col("doc_id") + 100000)).as("content_hash"),
+          (col("doc_id") + 2100000L).as("fetch_ts")))
+      graft.pipeline.Recrawl.delta(prev, curr, "url", "content_hash",
+          "fetch_ts", intervalCol = Some("interval_secs"))
+        .orderBy("url")
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -1366,6 +1399,43 @@ object SparkEntry {
          |LEFT JOIN sc s ON s.doc_id = p.doc_id
          |CROSS JOIN thr
          |ORDER BY p.doc_id""".stripMargin,
+
+    // closed-form regeneration of both q48 snapshots plus the identical
+    // full-outer-join + interval policy (see the q48 query comment):
+    // float division (iv / 2) mirrors Spark's Divide (always double) and
+    // stays exact on these power-of-two-scaled interval values
+    "q48_recrawl_delta" ->
+      """WITH prev AS (
+        |  SELECT 'https://host' || (doc_id % 40) || '.example.test/p' || doc_id AS url,
+        |    md5('h' || doc_id) AS h,
+        |    doc_id + 1000000 AS pts,
+        |    7200 * (doc_id % 4 + 1) AS iv
+        |  FROM documents
+        |), curr AS (
+        |  SELECT 'https://host' || (doc_id % 40) || '.example.test/p' || doc_id AS url,
+        |    CASE WHEN doc_id % 5 = 1 THEN md5('x' || doc_id)
+        |         ELSE md5('h' || doc_id) END AS h,
+        |    doc_id + 2000000 AS cts
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT 'https://host' || ((doc_id + 100000) % 40)
+        |      || '.example.test/p' || (doc_id + 100000),
+        |    md5('h' || (doc_id + 100000)),
+        |    doc_id + 2100000
+        |  FROM documents WHERE doc_id % 6 = 0
+        |)
+        |SELECT coalesce(p.url, c.url) AS url,
+        |  CASE WHEN p.url IS NULL THEN 'new'
+        |       WHEN c.url IS NULL THEN 'gone'
+        |       WHEN p.h = c.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  p.pts AS prev_ts, c.cts AS curr_ts,
+        |  CAST(CASE WHEN p.url IS NULL THEN 86400
+        |       WHEN c.url IS NULL THEN p.iv
+        |       WHEN p.h = c.h THEN least(p.iv * 2, 2592000)
+        |       ELSE greatest(p.iv / 2, 3600) END AS BIGINT) AS next_interval_secs
+        |FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+        |ORDER BY url""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
