@@ -52,19 +52,26 @@ object Recrawl {
     val prevInterval: Column = intervalCol
       .map(c => coalesce(col("p." + c), lit(DefaultIntervalSecs)))
       .getOrElse(lit(DefaultIntervalSecs))
-    val p = prev.alias("p")
-    val c = curr.alias("c")
+    // presence markers, NOT key nullity: a (corrupt) null-url row never
+    // matches the join key, and its side's marker is what says which
+    // snapshot it came from
+    val p = prev.withColumn("__in_prev", lit(true)).alias("p")
+    val c = curr.withColumn("__in_curr", lit(true)).alias("c")
     val joined = p.join(c, col("p." + urlCol) === col("c." + urlCol), "full_outer")
-    val status = when(col("p." + urlCol).isNull, lit("new"))
-      .when(col("c." + urlCol).isNull, lit("gone"))
-      .when(col("p." + hashCol) === col("c." + hashCol), lit("unchanged"))
+    val isNew = col("p.__in_prev").isNull
+    val isGone = col("c.__in_curr").isNull
+    // null-safe compare: hash null on BOTH sides reads "unchanged" (no
+    // evidence of change -> back off), null vs value reads "changed"; a
+    // plain === would drive every null-hash URL to the floor interval
+    val same = col("p." + hashCol) <=> col("c." + hashCol)
+    val status = when(isNew, lit("new"))
+      .when(isGone, lit("gone"))
+      .when(same, lit("unchanged"))
       .otherwise(lit("changed"))
-    val nextInterval = when(status === "new", lit(DefaultIntervalSecs))
-      .when(status === "changed",
-        greatest(prevInterval / 2, lit(MinIntervalSecs)))
-      .when(status === "unchanged",
-        least(prevInterval * 2, lit(MaxIntervalSecs)))
-      .otherwise(prevInterval) // gone
+    val nextInterval = when(isNew, lit(DefaultIntervalSecs))
+      .when(isGone, prevInterval)
+      .when(same, least(prevInterval * 2, lit(MaxIntervalSecs)))
+      .otherwise(greatest(prevInterval / 2, lit(MinIntervalSecs)))
     joined.select(
       coalesce(col("p." + urlCol), col("c." + urlCol)).as(urlCol),
       status.as("status"),

@@ -53,6 +53,26 @@ class RecrawlSpec extends AnyFunSuite {
     assert(out("u2") == Recrawl.DefaultIntervalSecs / 2)
   }
 
+  test("null edges: null url rows stay side-attributed; null hashes are null-safe") {
+    val prev = Seq(
+      (Option("u1"), Option("aaa"), 1L),
+      (Option.empty[String], Option("corrupt"), 2L), // null url, prev-only
+      (Option("u2"), Option.empty[String], 3L),      // null hash both sides
+      (Option("u3"), Option("ccc"), 4L)              // hash goes null in curr
+    ).toDF("url", "h", "ts")
+    val curr = Seq(
+      (Option("u1"), Option("aaa"), 5L),
+      (Option("u2"), Option.empty[String], 6L),
+      (Option("u3"), Option.empty[String], 7L)
+    ).toDF("url", "h", "ts")
+    val out = Recrawl.delta(prev, curr, "url", "h", "ts")
+      .collect().map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(out(Some("u1")) == "unchanged")
+    assert(out(None) == "gone")           // null-url prev row is NOT "new"
+    assert(out(Some("u2")) == "unchanged") // null <=> null
+    assert(out(Some("u3")) == "changed")   // value vs null
+  }
+
   test("self-join lineage (both snapshots derived from one frame) resolves") {
     val base = spark.range(20).selectExpr("CAST(id AS STRING) AS url",
       "md5(CAST(id AS STRING)) AS h", "id AS ts")
