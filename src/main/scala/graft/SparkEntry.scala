@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 48 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 49 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -530,6 +530,24 @@ object SparkEntry {
       graft.pipeline.Recrawl.delta(prev, curr, "url", "content_hash",
           "fetch_ts", intervalCol = Some("interval_secs"))
         .orderBy("url")
+    }),
+
+    // media dedup over the GMB1 binary column: modality-aware keys
+    // (image aHash, video first-frame aHash, audio exact bytes) feed the
+    // q11 exact-cluster layout. BY-CONSTRUCTION oracle: the only colliding
+    // keys are the planted byte-identical +100000 copies (id % 4 == 1) —
+    // natural collisions are ~2^-64 per pair — so cluster sizes and
+    // keepers are closed-form in id while the REAL decode + aHash kernels
+    // run on every payload.
+    "q49_media_dedup" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val n = t(s, dir, "documents").count().toInt
+      val base = Multimodal.syntheticMedia(s, n)
+      val planted = base.union(base.filter(_.media_id % 4 == 1)
+        .map(r => r.copy(media_id = r.media_id + 100000)))
+      Multimodal.dedupClusters(planted)
+        .orderBy("media_id")
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -1436,6 +1454,28 @@ object SparkEntry {
         |       ELSE greatest(p.iv / 2, 3600) END AS BIGINT) AS next_interval_secs
         |FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
         |ORDER BY url""".stripMargin,
+
+    // closed-form cluster structure of the q49 planted copies: doc_ids are
+    // the media ids (contiguous from 0, the repo-wide fixture contract),
+    // modality cycles i % 3, and exactly the id % 4 == 1 rows carry a
+    // byte-identical +100000 twin — so sizes and keepers need no hash math
+    "q49_media_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |  FROM documents
+        |), all_media AS (
+        |  SELECT media_id, modality FROM base
+        |  UNION ALL
+        |  SELECT media_id + 100000, modality FROM base WHERE media_id % 4 = 1
+        |)
+        |SELECT media_id, modality,
+        |  CAST(CASE WHEN (media_id % 100000) % 4 = 1 THEN 2 ELSE 1 END
+        |       AS BIGINT) AS cluster_size,
+        |  (media_id < 100000) AS keep
+        |FROM all_media
+        |ORDER BY media_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

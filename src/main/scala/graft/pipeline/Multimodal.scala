@@ -216,6 +216,58 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) of a raster: nearest-neighbor resize
+    * to 8x8 (the existing [[MediaCodec.resize]] kernel), integer mean over
+    * the 64 cells, bit i set iff cell i is strictly above the mean. The
+    * classic near-dup key for images — identical rasters always collide;
+    * re-encoded/rescaled variants usually do; random rasters collide at
+    * ~2^-64. */
+  def aHash64(img: Image): Long = {
+    val r = resize(img, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += (r.pixels(i) & 0xFF); i += 1 }
+    val mean = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if ((r.pixels(i) & 0xFF) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  private def payloadHash(payload: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      payload.length, 42L)
+
+  /** Modality-aware media dedup: images key on [[aHash64]], videos on the
+    * aHash of their FIRST frame (the thumbnail heuristic), audio and
+    * undecodable payloads on exact payload bytes (xxHash64). One kernel
+    * scan derives the key; clustering is the q11 exact-dedup layout —
+    * groupBy over (modality, key) so only (key, id) pairs shuffle, the
+    * payload bytes stay at rest. Returns (media_id, modality,
+    * cluster_size, keep) with the lowest id kept per cluster. */
+  def dedupClusters(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val keyed = ds.map { r =>
+      val key = decode(r.payload) match {
+        case Some(img: Image) => aHash64(img)
+        case Some(v: Video) if v.frames.nonEmpty =>
+          aHash64(Image(v.w, v.h, v.frames(0)))
+        case _ => payloadHash(r.payload)
+      }
+      (r.media_id, r.modality, key)
+    }.toDF("media_id", "modality", "dedup_key")
+    val clusters = keyed.groupBy("modality", "dedup_key")
+      .agg(count(lit(1)).as("cluster_size"), min("media_id").as("keep_id"))
+    keyed.join(clusters, Seq("modality", "dedup_key"))
+      .select(col("media_id"), col("modality"), col("cluster_size"),
+        (col("media_id") === col("keep_id")).as("keep"))
+  }
+
   /** Deterministic synthetic GMB1 corpus for tests/benches. Sizes and frame
     * counts are CLOSED-FORM in `i` (simple `*`/`%` arithmetic a SQL oracle
     * can mirror); payload *content* stays hash-derived — it feeds features,

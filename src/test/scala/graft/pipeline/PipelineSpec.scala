@@ -382,6 +382,47 @@ class PipelineSpec extends AnyFunSuite {
     assert((a intersect c).size.toDouble / math.max(a.size, 1) < 0.2)
   }
 
+  test("multimodal: modality-aware dedup clusters (aHash images/videos, exact audio)") {
+    import Multimodal._
+    import Multimodal.MediaCodec._
+    // aHash: identical rasters collide, distinct noise rasters don't
+    val a = Image(8, 6, Array.tabulate(48)(i => (i * 7).toByte))
+    val b = Image(8, 6, Array.tabulate(48)(i => (i * 13 + 5).toByte))
+    assert(aHash64(a) == aHash64(Image(8, 6, a.pixels.clone())))
+    assert(aHash64(a) != aHash64(b))
+
+    val s2 = spark; import s2.implicits._
+    val base = Multimodal.syntheticMedia(spark, 30)
+    val planted = base.union(base.filter(_.media_id % 4 == 1)
+      .map(r => r.copy(media_id = r.media_id + 1000)))
+    val out = Multimodal.dedupClusters(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    (0L until 30L).foreach { i =>
+      val (_, size, keep) = out(i)
+      assert(keep, s"base id $i must be the keeper")
+      assert(size == (if (i % 4 == 1) 2L else 1L), s"id $i cluster size")
+    }
+    (0L until 30L).filter(_ % 4 == 1).foreach { i =>
+      val (_, size, keep) = out(i + 1000)
+      assert(!keep && size == 2L, s"planted copy of $i")
+    }
+    // video thumbnail heuristic: same FIRST frame, different later frames
+    // -> same dedup key (intentional near-dup semantics)
+    val f0 = Array.tabulate(48)(i => (i * 3).toByte)
+    val meta = MediaMeta("video", 0, 0, 0, 0L, "gmb1")
+    val v1 = MediaRow(500L, "video", encodeVideo(8, 6, Seq(f0, Array.fill[Byte](48)(1))), meta)
+    val v2 = MediaRow(501L, "video", encodeVideo(8, 6, Seq(f0, Array.fill[Byte](48)(9))), meta)
+    val vOut = Multimodal.dedupClusters(s2.createDataset(Seq(v1, v2))).collect()
+    assert(vOut.forall(_.getLong(2) == 2L) && vOut.count(_.getBoolean(3)) == 1)
+    // audio keys on exact payload bytes: one sample flipped separates
+    val am = MediaMeta("audio", 0, 0, 16000, 0L, "gmb1")
+    val au1 = MediaRow(600L, "audio", encodeAudio(16000, Array[Short](1, 2, 3)), am)
+    val au2 = MediaRow(601L, "audio", encodeAudio(16000, Array[Short](1, 2, 4)), am)
+    val aOut = Multimodal.dedupClusters(s2.createDataset(Seq(au1, au2))).collect()
+    assert(aOut.forall(r => r.getLong(2) == 1L && r.getBoolean(3)))
+  }
+
   test("multimodal: GMB1 decode, features, resize, frame sampling, corrupt fallback") {
     import Multimodal._
     import Multimodal.MediaCodec._
