@@ -222,7 +222,7 @@ object Multimodal {
     * classic near-dup key for images — identical rasters always collide;
     * re-encoded/rescaled variants usually do; random rasters collide at
     * ~2^-64. */
-  def aHash64(img: Image): Long = {
+  private def aHashAndMean(img: Image): (Long, Long) = {
     val r = resize(img, 8, 8)
     var sum = 0L
     var i = 0
@@ -234,33 +234,54 @@ object Multimodal {
       if ((r.pixels(i) & 0xFF) > mean) h |= (1L << i)
       i += 1
     }
-    h
+    (h, mean)
   }
 
+  def aHash64(img: Image): Long = aHashAndMean(img)._1
+
   private def payloadHash(payload: Array[Byte]): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+    if (payload == null) 0L
+    else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
       payload.length, 42L)
 
-  /** Modality-aware media dedup: images key on [[aHash64]], videos on the
-    * aHash of their FIRST frame (the thumbnail heuristic), audio and
-    * undecodable payloads on exact payload bytes (xxHash64). One kernel
-    * scan derives the key; clustering is the q11 exact-dedup layout —
-    * groupBy over (modality, key) so only (key, id) pairs shuffle, the
-    * payload bytes stay at rest. Returns (media_id, modality,
-    * cluster_size, keep) with the lowest id kept per cluster. */
+  /** Dedup key of a raster: the [[aHash64]] threshold bits FOLDED WITH the
+    * quantized 8x8 mean. The pure aHash maps every flat (constant) raster
+    * to 0 regardless of gray level — an all-black and an all-white image
+    * would silently merge, and any two videos opening on the same flat
+    * lead-in frame would merge with probability 1. Folding the mean keeps
+    * those apart; the trade-off (a uniform brightness shift changes the
+    * key) is acceptable because this stage targets exact/near-exact
+    * re-encodes, not photometric variants. */
+  private def rasterKey(img: Image): Long = {
+    val (bits, mean) = aHashAndMean(img)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(bits, mean)
+  }
+
+  /** Modality-aware media dedup: images key on [[rasterKey]] (aHash bits +
+    * mean), videos on the raster key of their FIRST frame (the thumbnail
+    * heuristic), audio / undecodable / null / zero-area payloads on exact
+    * payload bytes (xxHash64) — degenerate rasters never crash the task,
+    * mirroring extractFeatures' corrupt-payload contract. ONE kernel scan
+    * derives the key (the keyed frame is checkpointed, so the aggregate
+    * and the join probe read it, not the decode); clustering is the q11
+    * exact-dedup layout — groupBy over (modality, key) so only (key, id)
+    * pairs shuffle, the payload bytes stay at rest. Returns (media_id,
+    * modality, cluster_size, keep) with the lowest id kept per cluster. */
   def dedupClusters(ds: Dataset[MediaRow]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val keyed = ds.map { r =>
+    val keyed = Checkpoints.step(ds.map { r =>
       val key = decode(r.payload) match {
-        case Some(img: Image) => aHash64(img)
-        case Some(v: Video) if v.frames.nonEmpty =>
-          aHash64(Image(v.w, v.h, v.frames(0)))
+        case Some(img: Image) if img.w > 0 && img.h > 0 && img.pixels.nonEmpty =>
+          rasterKey(img)
+        case Some(v: Video)
+            if v.frames.nonEmpty && v.w > 0 && v.h > 0 && v.frames(0).nonEmpty =>
+          rasterKey(Image(v.w, v.h, v.frames(0)))
         case _ => payloadHash(r.payload)
       }
       (r.media_id, r.modality, key)
-    }.toDF("media_id", "modality", "dedup_key")
+    }.toDF("media_id", "modality", "dedup_key"))
     val clusters = keyed.groupBy("modality", "dedup_key")
       .agg(count(lit(1)).as("cluster_size"), min("media_id").as("keep_id"))
     keyed.join(clusters, Seq("modality", "dedup_key"))

@@ -421,6 +421,24 @@ class PipelineSpec extends AnyFunSuite {
     val au2 = MediaRow(601L, "audio", encodeAudio(16000, Array[Short](1, 2, 4)), am)
     val aOut = Multimodal.dedupClusters(s2.createDataset(Seq(au1, au2))).collect()
     assert(aOut.forall(r => r.getLong(2) == 1L && r.getBoolean(3)))
+    // flat rasters: the mean-folded key keeps solid black and solid white
+    // apart, while byte-identical flat images still merge
+    val im = MediaMeta("image", 0, 0, 0, 0L, "gmb1")
+    val black = encodeImage(8, 6, Array.fill[Byte](48)(0))
+    val white = encodeImage(8, 6, Array.fill[Byte](48)(-1))
+    val fOut = Multimodal.dedupClusters(s2.createDataset(Seq(
+      MediaRow(700L, "image", black, im), MediaRow(701L, "image", white, im),
+      MediaRow(702L, "image", black.clone(), im)))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(fOut(700L) == ((2L, true)) && fOut(702L) == ((2L, false)))
+    assert(fOut(701L) == ((1L, true)))
+    // degenerate payloads key on exact bytes and never crash the task
+    val degenerate = s2.createDataset(Seq(
+      MediaRow(800L, "image", null, im),
+      MediaRow(801L, "image", encodeImage(0, 0, Array.emptyByteArray), im),
+      MediaRow(802L, "image", "garbage".getBytes, im)))
+    val dOut = Multimodal.dedupClusters(degenerate).collect()
+    assert(dOut.length == 3 && dOut.forall(r => r.getLong(2) == 1L && r.getBoolean(3)))
   }
 
   test("multimodal: GMB1 decode, features, resize, frame sampling, corrupt fallback") {
