@@ -73,6 +73,33 @@ class RecrawlSpec extends AnyFunSuite {
     assert(out(Some("u3")) == "changed")   // value vs null
   }
 
+  test("bucketed snapshots co-locate: no hash exchange feeds the full-outer join") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.range(200).selectExpr("CAST(id AS STRING) AS url",
+      "md5(CAST(id AS STRING)) AS h", "id AS ts")
+    val curr = spark.range(100, 300).selectExpr("CAST(id AS STRING) AS url",
+      "md5(CAST(id + 1 AS STRING)) AS h", "id AS ts")
+    try {
+      prev.write.bucketBy(4, "url").sortBy("url").mode("overwrite").saveAsTable("rc_prev")
+      curr.write.bucketBy(4, "url").sortBy("url").mode("overwrite").saveAsTable("rc_curr")
+      val out = Recrawl.delta(spark.table("rc_prev"), spark.table("rc_curr"),
+        "url", "h", "ts")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a join in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed-by-url snapshots must join WITHOUT re-shuffling:\n$plan")
+      // and the result is still right: 100 gone, 100 changed-or-unchanged, 100 new
+      val counts = out.groupBy(col("status")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts("gone") == 100 && counts("new") == 100)
+      assert(counts.getOrElse("changed", 0L) + counts.getOrElse("unchanged", 0L) == 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rc_prev")
+      spark.sql("DROP TABLE IF EXISTS rc_curr")
+    }
+  }
+
   test("self-join lineage (both snapshots derived from one frame) resolves") {
     val base = spark.range(20).selectExpr("CAST(id AS STRING) AS url",
       "md5(CAST(id AS STRING)) AS h", "id AS ts")
