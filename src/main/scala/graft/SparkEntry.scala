@@ -11,7 +11,7 @@ import graft.serp.SerpTransforms
 
 /**
  * Driver contract (SURVEY.md §7): one `queries` entry per implemented
- * operator family, each with a DuckDB `oracleSql` — ALL 49 queries are
+ * operator family, each with a DuckDB `oracleSql` — ALL 50 queries are
  * oracled. Where the kernel itself is not SQL-expressible (LSH/minhash
  * sketches, the BSP crawl fixpoint, multimodal decode), the fixture is
  * constructed so the EXPECTED OUTPUT is closed-form in the generator seed
@@ -548,6 +548,20 @@ object SparkEntry {
         .map(r => r.copy(media_id = r.media_id + 100000)))
       Multimodal.dedupClusters(planted)
         .orderBy("media_id")
+    }),
+
+    // training-shard assembly (token-budget packing): EXACT-RECOMPUTE
+    // oracle — the q13 whitespace token count feeds a deterministic global
+    // prefix sum; DuckDB recomputes it with an ordered window while the
+    // Spark side runs the WINDOWLESS two-phase partition-offset pattern
+    // (a single-partition window is the 100 TB anti-pattern; PackSpec pins
+    // the plan). shard = floor(prefix_before / budget): a straddling doc
+    // belongs to the shard it starts in.
+    "q50_pack_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("tokens"))
+      graft.pipeline.Pack.shardByBudget(docs, "doc_id", "tokens", budget = 4096L)
+        .orderBy("doc_id")
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -1476,6 +1490,26 @@ object SparkEntry {
         |  (media_id < 100000) AS keep
         |FROM all_media
         |ORDER BY media_id""".stripMargin,
+
+    // the orthodox SQL recompute of q50's prefix sum (ordered window) vs
+    // the Spark side's two-phase partition-offset implementation — exact
+    // integer arithmetic throughout
+    "q50_pack_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS offset_tokens
+        |  FROM tok
+        |)
+        |SELECT doc_id, tokens, offset_tokens,
+        |  CAST(offset_tokens // 4096 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-shard assembly: assign every document a token-budget shard in a
+ * deterministic global order (the layout step that turns a curated corpus
+ * into fixed-size training shards). The rule is the scalable greedy
+ * degenerate of bin packing: `shard = floor(prefix_tokens_before /
+ * budget)` over the total (idCol) order — a document that straddles a
+ * boundary belongs to the shard it STARTS in.
+ *
+ * The global prefix sum is NOT a single-partition window: the naive
+ * `sum().over(Window.orderBy(...))` plans one unpartitioned window task
+ * and collapses a 100 TB corpus onto a single executor. Instead:
+ * range-repartition by the order key, materialize that partitioning ONCE
+ * (checkpoint — the two passes must observe identical sampled range
+ * boundaries), take per-partition token sums in one kernel pass (P longs
+ * to the driver), broadcast the exclusive partition offsets back, and
+ * emit each row's offset in a second pass. Output values are invariant to
+ * where the sampled boundaries fall because the order is total — only
+ * which partition computes a row changes, never its global prefix.
+ */
+object Pack {
+
+  /** (idCol, tokens, offset_tokens, shard) for every input row; `budget`
+    * in tokens. `partitions` defaults to the session shuffle parallelism. */
+  def shardByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = Checkpoints.step(
+        df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+          .repartitionByRange(parts, col(idCol))
+          .sortWithinPartitions(idCol))
+      .as[(Long, Long)]
+    val sums = base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach { case (_, t) => s += t }
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val ob = spark.sparkContext.broadcast(offsets)
+    base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = ob.value(pid)
+      it.map { case (id, t) =>
+        val off = run
+        run += t
+        (id, t, off, off / budget)
+      }
+    }.toDF(idCol, "tokens", "offset_tokens", "shard")
+  }
+}

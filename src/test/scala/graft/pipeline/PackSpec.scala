@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pack-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("shard assignment matches the sequential prefix-sum on any partitioning") {
+    val rows = (0L until 500L).map(i => (i, 1L + (i * 37) % 211))
+    var run = 0L
+    val want = rows.map { case (id, t) =>
+      val off = run; run += t; (id, t, off, off / 1000L)
+    }
+    for (parts <- Seq(1, 3, 13)) {
+      val got = Pack.shardByBudget(rows.toDF("id", "tokens").repartition(7),
+          "id", "tokens", budget = 1000L, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"partitions=$parts")
+    }
+  }
+
+  test("no single-partition window: the plan never contains a Window operator") {
+    val df = (0L until 100L).map(i => (i, 10L)).toDF("id", "tokens")
+    val out = Pack.shardByBudget(df, "id", "tokens", budget = 64L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"windowless global cumsum violated:\n$plan")
+    // boundary doc (offset 60, 10 tokens, budget 64) belongs to its START shard
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(6L) == 0L && m(7L) == 1L) // doc 6 starts at 60 < 64; doc 7 at 70
+  }
+
+  test("degenerate inputs: empty frame and zero-token docs") {
+    assert(Pack.shardByBudget(Seq.empty[(Long, Long)].toDF("id", "tokens"),
+      "id", "tokens", 100L).count() == 0)
+    val out = Pack.shardByBudget(
+        Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("id", "tokens"),
+        "id", "tokens", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 5L, 1L)))
+  }
+}
