@@ -24,36 +24,63 @@ import org.apache.spark.sql.functions._
  */
 object Pack {
 
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"Pack.shardByBudget: column '$c' must be integral, got $other — " +
+          "a silent cast would nullify string ids / truncate fractional " +
+          "token counts; convert explicitly at the call site")
+    }
+  }
+
   /** (idCol, tokens, offset_tokens, shard) for every input row; `budget`
-    * in tokens. `partitions` defaults to the session shuffle parallelism. */
+    * in tokens. `partitions` defaults to the session shuffle parallelism.
+    *
+    * Contract: `idCol`/`tokenCol` must be integral (checked against the
+    * schema — no silent lossy cast); ids must be non-null (a null id has
+    * no place in a total order and fails the row decode); null token
+    * counts read as 0 (matching SQL SUM-ignores-NULL semantics). Both
+    * kernel passes index the partition-offset array by the CHECKPOINTED
+    * RDD's own partition index (`mapPartitionsWithIndex`), never
+    * `TaskContext.getPartitionId` — a downstream `coalesce` pipelines
+    * multiple parent partitions into one task, where the task id would
+    * silently corrupt every offset. Lifecycle: with no checkpoint dir the
+    * materialized base frame's blocks are reference-tracked and freed on
+    * GC; with a reliable checkpoint dir configured the caller owns the
+    * dir's lifecycle (same contract as the Graph rounds' final frame). */
   def shardByBudget(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
+    requireIntegral(df, idCol)
+    requireIntegral(df, tokenCol)
     val spark = df.sparkSession
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val base = Checkpoints.step(
-        df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+        df.select(col(idCol).cast("long"),
+            coalesce(col(tokenCol).cast("long"), lit(0L)))
           .repartitionByRange(parts, col(idCol))
           .sortWithinPartitions(idCol))
       .as[(Long, Long)]
-    val sums = base.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val sums = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach { case (_, t) => s += t }
       Iterator.single((pid, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _) // exclusive prefix per partition
     val ob = spark.sparkContext.broadcast(offsets)
-    base.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val packed = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = ob.value(pid)
       it.map { case (id, t) =>
         val off = run
         run += t
         (id, t, off, off / budget)
       }
-    }.toDF(idCol, "tokens", "offset_tokens", "shard")
+    }
+    spark.createDataFrame(packed)
+      .toDF(idCol, "tokens", "offset_tokens", "shard")
   }
 }

@@ -39,6 +39,32 @@ class PackSpec extends AnyFunSuite {
     assert(m(6L) == 0L && m(7L) == 1L) // doc 6 starts at 60 < 64; doc 7 at 70
   }
 
+  test("downstream coalesce cannot corrupt offsets (parent partition index, not task id)") {
+    val rows = (0L until 400L).map(i => (i, 7L))
+    val out = Pack.shardByBudget(rows.toDF("id", "tokens").repartition(5),
+        "id", "tokens", budget = 100L, partitions = 8)
+      .coalesce(1) // pipelines all 8 parent partitions into ONE task
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    rows.foreach { case (id, _) =>
+      assert(out(id.toInt) == ((id, id * 7L)), s"id=$id offset under coalesce")
+    }
+  }
+
+  test("non-integral id/token columns are rejected, null tokens read as 0") {
+    val bad = Seq(("a", 1L)).toDF("id", "tokens")
+    intercept[IllegalArgumentException] {
+      Pack.shardByBudget(bad, "id", "tokens", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.shardByBudget(Seq((1L, 2.5)).toDF("id", "tokens"), "id", "tokens", 10L)
+    }
+    val withNull = Seq((1L, Some(3L)), (2L, Option.empty[Long]), (3L, Some(4L)))
+      .toDF("id", "tokens")
+    val out = Pack.shardByBudget(withNull, "id", "tokens", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 0L), (2L, 0L, 3L), (3L, 4L, 3L)))
+  }
+
   test("degenerate inputs: empty frame and zero-token docs") {
     assert(Pack.shardByBudget(Seq.empty[(Long, Long)].toDF("id", "tokens"),
       "id", "tokens", 100L).count() == 0)
