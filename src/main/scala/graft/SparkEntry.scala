@@ -564,6 +564,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-level line dedup (CCNet-style boilerplate removal):
+    // BY-CONSTRUCTION oracle — docs are synthesized closed-form in doc_id
+    // (6 lines each: unique md5-stamped lines, a cookie banner on id%2==0,
+    // a newsletter plea on id%3==0, a within-doc repeat on id%10==7, and a
+    // trailing empty structural line), so DuckDB regenerates the same
+    // corpus and replays split + frequency + anti-filter + ordered
+    // reassembly in SQL. The REAL operator runs both stages (hash-keyed
+    // frequency agg + broadcast kernel rewrite); the count-scaled
+    // threshold n/20 keeps planted families far from the boundary at any
+    // sf. Lines match by trimmed text in SQL vs trimmed xxhash64 in the
+    // engine — identical absent ~2^-64 collisions.
+    "q51_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val id = col("doc_id")
+      def u(tag: String) = concat(lit("u"), id, lit(tag))
+      val l1 = concat(lit("u"), id, lit("a-"), md5(concat(lit("a"), id)))
+      val l2 = when(pmod(id, lit(2)) === 0,
+        lit("Accept all cookies to continue")).otherwise(u("b"))
+      val l4 = when(pmod(id, lit(3)) === 0,
+        lit("Subscribe to our newsletter")).otherwise(u("d"))
+      val l5 = when(pmod(id, lit(10)) === 7, l1).otherwise(u("e"))
+      val docs = d.select(id,
+        concat_ws("\n", l1, l2, u("c"), l4, l5, lit("")).as("text"))
+      graft.pipeline.LineDedup.clean(docs, "doc_id", "text",
+          minCount = math.max(2L, n / 20))
+        .orderBy("doc_id")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1510,6 +1539,51 @@ object SparkEntry {
         |SELECT doc_id, tokens, offset_tokens,
         |  CAST(offset_tokens // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // replay of q51's by-construction corpus: regenerate the 6-line docs
+    // closed-form in doc_id, then split + count trimmed non-empty lines +
+    // drop those at/above the count-scaled threshold + ordered reassembly.
+    // SQL matches lines by trimmed TEXT where the engine matches trimmed
+    // xxhash64 — equivalent absent ~2^-64 collisions.
+    "q51_line_dedup" ->
+      """WITH th AS (SELECT greatest(2, count(*)//20) AS mc FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    'u' || doc_id || 'a-' || md5('a' || doc_id) AS l1,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Accept all cookies to continue'
+        |         ELSE 'u' || doc_id || 'b' END AS l2,
+        |    'u' || doc_id || 'c' AS l3,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter'
+        |         ELSE 'u' || doc_id || 'd' END AS l4,
+        |    CASE WHEN doc_id % 10 = 7
+        |         THEN 'u' || doc_id || 'a-' || md5('a' || doc_id)
+        |         ELSE 'u' || doc_id || 'e' END AS l5
+        |  FROM documents
+        |), docs AS (
+        |  SELECT doc_id, concat_ws(chr(10), l1, l2, l3, l4, l5, '') AS text
+        |  FROM d
+        |), l AS (
+        |  SELECT doc_id, pos, ls[pos] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+        |       (SELECT unnest(range(1, 7)) AS pos) p
+        |), f AS (
+        |  SELECT trim(line) AS tl FROM l
+        |  WHERE len(trim(line)) > 0
+        |  GROUP BY 1 HAVING count(*) >= (SELECT mc FROM th)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |    CAST(count(*) AS BIGINT) AS kept_lines
+        |  FROM l
+        |  WHERE len(trim(line)) = 0 OR trim(line) NOT IN (SELECT tl FROM f)
+        |  GROUP BY doc_id
+        |)
+        |SELECT docs.doc_id,
+        |  COALESCE(agg.text_clean, '') AS text_clean,
+        |  CAST(6 AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(agg.kept_lines, 0) AS BIGINT) AS kept_lines
+        |FROM docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
+        |ORDER BY docs.doc_id""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
