@@ -593,6 +593,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // domain-reputation gate (RefinedWeb-style "judge the site"): per-doc
+    // quality (the q15 scorer, already hash-exact vs DuckDB) is re-scaled
+    // to integer 1/10000ths so every sum is order-independent; the keep
+    // decision is exact 64-bit cross-multiplication (domain mean >= corpus
+    // mean), so the oracle is an EXACT RECOMPUTE with zero float
+    // accumulation anywhere.
+    "q52_domain_filter" -> ((s, dir) => {
+      val qm = round(round(TextAnalysis.qualityScore(col("text")), 4)
+        * 10000, 0).cast("long")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), qm.as("qmilli"))
+      graft.pipeline.DomainStats.filterDocs(docs, "source", "qmilli")
+        .orderBy("doc_id")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1873,6 +1888,47 @@ object SparkEntry {
          |               x -> list_contains($stopwordsSqlList, x))) AS DOUBLE) AS stop
          |    FROM documents) raw) ratios
          |ORDER BY doc_id""".stripMargin,
+
+    // exact recompute of q52: the q15 quality expression carried per-source,
+    // re-scaled to integer milli-units; domain gate replayed as the same
+    // integer cross-multiplication (no float sums on either side)
+    "q52_domain_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CAST(round(round(least(greatest(
+         |      alpha_ratio * 0.4 +
+         |      least(stop_ratio * 2.0, 1.0) * 0.3 +
+         |      (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
+         |      (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.15,
+         |    0.0), 1.0), 4) * 10000, 0) AS BIGINT) AS qmilli
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+         |      CASE WHEN n > 0 THEN punct / n ELSE 0.0 END AS punct_ratio,
+         |      CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END AS stop_ratio,
+         |      CASE WHEN n_tok > 0 THEN alpha / n_tok ELSE 0.0 END AS mean_word_len
+         |    FROM (
+         |      SELECT doc_id, source,
+         |        CAST(length(text) AS DOUBLE) AS n,
+         |        CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+         |        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         |        CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS DOUBLE) AS n_tok,
+         |        CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+         |                 x -> list_contains($stopwordsSqlList, x))) AS DOUBLE) AS stop
+         |      FROM documents) raw) ratios
+         |), st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+         |    CAST(sum(qmilli) AS BIGINT) AS src_sum
+         |  FROM m GROUP BY source
+         |), g AS (
+         |  SELECT CAST(sum(src_sum) AS BIGINT) AS tot_sum,
+         |    CAST(sum(src_docs) AS BIGINT) AS tot_docs
+         |  FROM st
+         |)
+         |SELECT m.doc_id, m.source, m.qmilli, st.src_docs, st.src_sum,
+         |  (st.src_sum * g.tot_docs >= g.tot_sum * st.src_docs) AS keep
+         |FROM m JOIN st ON m.source = st.source CROSS JOIN g
+         |ORDER BY m.doc_id""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
