@@ -608,6 +608,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text normalization (NFC + control strip + space folding + collapse):
+    // BY-CONSTRUCTION oracle — docs carry planted mojibake chosen per
+    // id%6 (combining acute, BEL/CRLF, NBSP+ZWSP, tab runs, combining
+    // ring, and a clean control group), all stable codepoints both
+    // engines' Unicode tables agree on; DuckDB replays the four rules as
+    // nfc_normalize + three RE2 class replaces.
+    "q53_normalize_text" -> ((s, dir) => {
+      val id = col("doc_id")
+      val seg = pmod(id, lit(6))
+      val segCol = when(seg === 0, lit("cafe\u0301 brulee"))
+        .when(seg === 1, lit("x\u0007y\r\nz"))
+        .when(seg === 2, lit("a\u00A0b\u200Bc"))
+        .when(seg === 3, lit("tab\t\t  end"))
+        .when(seg === 4, lit("A\u030A ring"))
+        .otherwise(lit("plain clean"))
+      val docs = t(s, dir, "documents")
+        .select(id, concat(lit("u"), id, lit(": "), segCol).as("text"))
+      graft.pipeline.Normalize.normalizeDocs(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1929,6 +1950,30 @@ object SparkEntry {
          |  (st.src_sum * g.tot_docs >= g.tot_sum * st.src_docs) AS keep
          |FROM m JOIN st ON m.source = st.source CROSS JOIN g
          |ORDER BY m.doc_id""".stripMargin,
+
+    // replay of q53's planted corpus: same id%6 mojibake via chr(), then
+    // the four normalization rules as nfc_normalize + RE2 class replaces
+    "q53_normalize_text" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 'u' || doc_id || ': ' ||
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'cafe' || chr(769) || ' brulee'
+        |      WHEN 1 THEN 'x' || chr(7) || 'y' || chr(13) || chr(10) || 'z'
+        |      WHEN 2 THEN 'a' || chr(160) || 'b' || chr(8203) || 'c'
+        |      WHEN 3 THEN 'tab' || chr(9) || chr(9) || '  end'
+        |      WHEN 4 THEN 'A' || chr(778) || ' ring'
+        |      ELSE 'plain clean' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm AS text_norm, norm <> text AS changed
+        |FROM (
+        |  SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(
+        |      nfc_normalize(text),
+        |      '[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}-\x{009F}\x{200B}\x{FEFF}]', '', 'g'),
+        |      '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+        |      '[ \t]+', ' ', 'g') AS norm
+        |  FROM docs) n
+        |ORDER BY doc_id""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
