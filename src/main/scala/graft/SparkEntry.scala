@@ -629,6 +629,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus vocabulary (tokenizer-training stats): EXACT-RECOMPUTE oracle
+    // — integer tf/df with a total (tf desc, token asc) order, so DuckDB's
+    // unnest+GROUP BY replays the kernel's per-doc pre-aggregation
+    // bit-for-bit. k=100 exercises the TakeOrdered cut.
+    "q54_vocab_topk" -> ((s, dir) =>
+      graft.pipeline.Vocab.topK(t(s, dir, "documents"), "text", 100)),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1974,6 +1981,18 @@ object SparkEntry {
         |      '[ \t]+', ' ', 'g') AS norm
         |  FROM docs) n
         |ORDER BY doc_id""".stripMargin,
+
+    "q54_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents
+        |)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM tok GROUP BY token
+        |ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
