@@ -28,20 +28,36 @@ import org.apache.spark.sql.functions._
  *     partitioning. Above the threshold: posexplode + left-anti hash join
  *     on the line hash + groupBy reassembly (array_sort over (pos, line)
  *     structs) — the orthodox shuffled path, whose anti-join build side is
- *     exactly the bounded frequent set. Both paths emit identical rows
- *     (LineDedupSpec pins equality on a corpus straddling the threshold).
+ *     exactly the bounded frequent set (persisted, so the probe that
+ *     sized it never recomputes the corpus-wide aggregation). Both paths
+ *     emit identical rows (LineDedupSpec pins equality on a corpus
+ *     straddling the threshold, including tab/CR-edged lines).
  *
- * Hashing trims before digesting, so "footer  " and "footer" pool their
- * counts; the emitted line keeps its original bytes. Collisions conflate
- * two distinct lines' counts with probability ~2^-64 per pair — the same
- * accepted trade as the MinHash/exact-dedup family (Dedup.scala).
+ * Trimming uses SQL `trim` semantics — ASCII space (0x20) only, NOT Java
+ * String.trim's "everything <= 0x20" — in BOTH stages, so "footer  " and
+ * "footer" pool their counts while "footer\r" (CRLF artifact) is a
+ * distinct line on every path. Run Normalize first if CRLF should fold.
+ * The emitted line keeps its original bytes. Hash collisions conflate two
+ * distinct lines' counts with probability ~2^-64 per pair — the same
+ * accepted trade as the MinHash/exact-dedup family (Dedup.scala). Null
+ * text reads as '' (one empty structural line), identically on both paths.
  */
 object LineDedup {
 
-  /** Seed-42 xxHash64 of the trimmed line — identical digest to the
-    * `xxhash64(trim(line))` Column used by the join path. */
+  /** SQL-trim (strip leading/trailing 0x20 only), matching the `trim`
+    * Column used by the frequency stage and the join path. */
+  private def sqlTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Seed-42 xxHash64 of the SQL-trimmed line — identical digest to the
+    * `xxhash64(trim(line))` Column used by the frequency stage. */
   def lineHash(line: String): Long =
-    graft.frontier.SeenBloom.hash64(line.trim)
+    graft.frontier.SeenBloom.hash64(sqlTrim(line))
 
   private def trimmedNonEmpty(line: Column): Column =
     length(trim(line)) > 0
@@ -49,11 +65,11 @@ object LineDedup {
   /** (line_hash, cnt) for every trimmed non-empty line occurring at least
     * `minCount` times corpus-wide. Within-document repeats count — a line
     * pasted 50 times in one page is as boilerplate as one pasted once in
-    * 50 pages. */
+    * 50 pages. Null texts contribute nothing. */
   def frequentLines(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount — " +
       "1 would drop every non-empty line in the corpus")
-    val line = explode(split(col(textCol), "\n", -1)).as("__line")
+    val line = explode(split(coalesce(col(textCol), lit("")), "\n", -1)).as("__line")
     df.select(line)
       .filter(trimmedNonEmpty(col("__line")))
       .groupBy(xxhash64(trim(col("__line"))).as("line_hash"))
@@ -75,22 +91,22 @@ object LineDedup {
       maxBroadcastLines: Int = 1 << 22): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType
-         | org.apache.spark.sql.types.ShortType
-         | org.apache.spark.sql.types.IntegerType
-         | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"LineDedup.clean: id column '$idCol' must be integral, got $other")
-    }
-    val freq = frequentLines(df, textCol, minCount)
+    Contracts.requireIntegral(df, idCol, "LineDedup.clean")
+    // one null rule for both paths: null text == '' (one empty line)
+    val src = df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    // persisted: the sizing probe below and (on the join path) the
+    // anti-join build side reuse it — without this the corpus-wide
+    // frequency aggregation would run twice. Blocks are reference-tracked
+    // and freed on GC (Pack/Graph contract).
+    val freq = frequentLines(src, textCol, minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val headRows = freq.select(col("line_hash")).take(maxBroadcastLines + 1)
 
     if (headRows.length <= maxBroadcastLines) {
       // Kernel path: one pass over the documents, zero further shuffles.
       val hashes = headRows.map(_.getLong(0)).sorted
       val bc = spark.sparkContext.broadcast(hashes)
-      val base = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      val base = src.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       base.map { case (id, text) =>
         val arr = bc.value
         val lines = text.split("\n", -1)
@@ -98,7 +114,7 @@ object LineDedup {
         var kept = 0L
         var i = 0
         while (i < lines.length) {
-          val t = lines(i).trim
+          val t = sqlTrim(lines(i))
           val drop = t.nonEmpty &&
             java.util.Arrays.binarySearch(arr, lineHash(lines(i))) >= 0
           if (!drop) {
@@ -112,7 +128,7 @@ object LineDedup {
       }.toDF(idCol, "text_clean", "n_lines", "kept_lines")
     } else {
       // Join path: the anti-join's build side is the bounded frequent set.
-      val lines = df.select(col(idCol).cast("long").as("__id"),
+      val lines = src.select(col(idCol).cast("long").as("__id"),
           posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
       val kept = lines.join(freq,
         xxhash64(trim(col("__line"))) === col("line_hash")
@@ -125,7 +141,7 @@ object LineDedup {
               array_sort(collect_list(struct(col("__pos"), col("__line")))),
               s => s.getField("__line"))).as("text_clean"),
           count(lit(1)).as("kept_lines"))
-      df.select(col(idCol).cast("long").as("__id"),
+      src.select(col(idCol).cast("long").as("__id"),
           (size(split(col(textCol), "\n", -1))).cast("long").as("n_lines"))
         .join(rebuilt, Seq("__id"), "left")
         .select(col("__id").as(idCol),

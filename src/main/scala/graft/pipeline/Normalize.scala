@@ -79,14 +79,7 @@ object Normalize {
   def normalizeDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType
-         | org.apache.spark.sql.types.ShortType
-         | org.apache.spark.sql.types.IntegerType
-         | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"Normalize.normalizeDocs: id column '$idCol' must be integral, got $other")
-    }
+    Contracts.requireIntegral(df, idCol, "Normalize.normalizeDocs")
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
         val norm = fixText(text)

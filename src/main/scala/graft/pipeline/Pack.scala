@@ -24,16 +24,8 @@ import org.apache.spark.sql.functions._
  */
 object Pack {
 
-  private def requireIntegral(df: DataFrame, c: String): Unit = {
-    import org.apache.spark.sql.types._
-    df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"Pack.shardByBudget: column '$c' must be integral, got $other — " +
-          "a silent cast would nullify string ids / truncate fractional " +
-          "token counts; convert explicitly at the call site")
-    }
-  }
+  private def requireIntegral(df: DataFrame, c: String): Unit =
+    Contracts.requireIntegral(df, c, "Pack.shardByBudget")
 
   /** (idCol, tokens, offset_tokens, shard) for every input row; `budget`
     * in tokens. `partitions` defaults to the session shuffle parallelism.

@@ -60,6 +60,25 @@ class DomainStatsSpec extends AnyFunSuite {
     assert(keep.toSeq == Seq(0L -> true, 1L -> true, 2L -> false))
   }
 
+  test("null domain forms its own gated group — rows are never dropped") {
+    val d = Seq((0L, "a", 10L), (1L, null.asInstanceOf[String], 90L),
+      (2L, null.asInstanceOf[String], 90L), (3L, "b", 10L))
+    val got = DomainStats.filterDocs(d.toDF("id", "src", "q"), "src", "q")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("keep")))
+      .sortBy(_._1).toSeq
+    // corpus mean 50; null-group mean 90 keeps, a/b (10) drop
+    assert(got == Seq(0L -> false, 1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("cross products that would overflow 64 bits are rejected loudly") {
+    val d = Seq((0L, "a", Long.MaxValue / 2), (1L, "b", Long.MaxValue / 2),
+      (2L, "b", 1L))
+    val e = intercept[IllegalArgumentException] {
+      DomainStats.filterDocs(d.toDF("id", "src", "q"), "src", "q")
+    }
+    assert(e.getMessage.contains("re-scale"))
+  }
+
   test("float score columns are rejected; empty input yields empty output") {
     intercept[IllegalArgumentException] {
       DomainStats.stats(Seq((1L, "a", 0.5)).toDF("id", "src", "q"), "src", "q")

@@ -91,6 +91,29 @@ class LineDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-trim semantics: tab/CR-edged frequent lines drop on BOTH paths") {
+    // "boiler\r" (CRLF artifact) and a tab-only line, each 12x corpus-wide:
+    // SQL trim (space-only) keeps \r and \t, so both are countable and
+    // frequent -> dropped. Java String.trim in the kernel would have
+    // hashed "boiler" (no \r) and treated "\t" as structure — divergence.
+    val docs = (0L until 12L).map(i => (i, s"keep-$i\n$boiler\r\n\t"))
+    for (maxBc <- Seq(1 << 20, 0)) {
+      val got = collect(LineDedup.clean(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 10, maxBroadcastLines = maxBc))
+      assert(got == docs.map { case (i, _) => (i, s"keep-$i", 3L, 1L) },
+        s"maxBc=$maxBc")
+    }
+  }
+
+  test("null text reads as one empty structural line on both paths") {
+    val docs = Seq((0L, "a\nb"), (1L, null.asInstanceOf[String]))
+    for (maxBc <- Seq(1 << 20, 0)) {
+      val got = collect(LineDedup.clean(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 2, maxBroadcastLines = maxBc))
+      assert(got == Seq((0L, "a\nb", 2L, 2L), (1L, "", 1L, 1L)), s"maxBc=$maxBc")
+    }
+  }
+
   test("frequentLines counts within-doc repeats and honors minCount >= 2") {
     val docs = Seq((1L, "x\nx\nx\ny"), (2L, "x\nz"))
     val freq = LineDedup.frequentLines(docs.toDF("id", "text"), "text", 4)
