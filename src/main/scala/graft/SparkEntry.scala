@@ -636,6 +636,42 @@ object SparkEntry {
     "q54_vocab_topk" -> ((s, dir) =>
       graft.pipeline.Vocab.topK(t(s, dir, "documents"), "text", 100)),
 
+    // WARC source (Common Crawl container): BY-CONSTRUCTION oracle — the
+    // query synthesizes four archive files (two plain, two per-record-gzip)
+    // whose records are closed-form in doc_id, runs the REAL streaming
+    // parser (version line, header block, Content-Length framing, HTTP
+    // split, multi-member gzip) through Warc.read, and projects columns
+    // DuckDB recomputes from the same closed forms.
+    "q55_warc_read" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count().toInt
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+      tmp.deleteOnExit()
+      val files = 4
+      val streams = Array.fill(files)(new java.io.ByteArrayOutputStream())
+      (0 until n).foreach { i =>
+        val one = new java.io.ByteArrayOutputStream()
+        val status = if (i % 7 == 3) 404 else 200
+        graft.sources.Warc.writeResponse(one,
+          s"https://host${i % 40}.example.test/p$i",
+          java.time.Instant.ofEpochSecond(1700000000L + i), status,
+          s"<html><body>page $i</body></html>".getBytes("UTF-8"))
+        val f = i % files
+        if (f % 2 == 1)
+          streams(f).write(graft.sources.Warc.gzipMember(one.toByteArray))
+        else streams(f).write(one.toByteArray)
+      }
+      streams.zipWithIndex.foreach { case (b, f) =>
+        val name = if (f % 2 == 1) s"part-$f.warc.gz" else s"part-$f.warc"
+        java.nio.file.Files.write(
+          new java.io.File(tmp, name).toPath, b.toByteArray)
+      }
+      graft.sources.Warc.read(s, tmp.getAbsolutePath + "/*")
+        .select(col("url"), col("warc_ts").cast("long").as("ts_epoch"),
+          col("status"), length(col("html")).cast("long").as("n_bytes"),
+          md5(col("html")).as("payload_md5"))
+        .orderBy("url")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1993,6 +2029,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM tok GROUP BY token
         |ORDER BY tf DESC, token ASC LIMIT 100""".stripMargin,
+
+    // closed-form replay of q55's synthesized archives: url/ts/status/
+    // payload are all arithmetic in doc_id, so the parser's output is
+    // checkable without DuckDB ever reading WARC
+    "q55_warc_read" ->
+      """SELECT 'https://host' || (doc_id % 40) || '.example.test/p' || doc_id AS url,
+        |  CAST(doc_id + 1700000000 AS BIGINT) AS ts_epoch,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INTEGER) AS status,
+        |  CAST(length('<html><body>page ' || doc_id || '</body></html>') AS BIGINT) AS n_bytes,
+        |  md5('<html><body>page ' || doc_id || '</body></html>') AS payload_md5
+        |FROM documents ORDER BY url""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
