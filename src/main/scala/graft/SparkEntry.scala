@@ -672,6 +672,15 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // inverted index (dictionary + head postings): EXACT-RECOMPUTE oracle —
+    // q54's tokenizer contract (ASCII-ws split, UTF8String lowercasing ==
+    // SQL lower()), integer df/tf, and a bottom-K posting list that DuckDB
+    // replays as list_sort(list(doc_id))[1:cap]. minDf=2 exercises hapax
+    // pruning; cap=16 exercises the bounded-buffer cut on stopwords.
+    "q56_inverted_index" -> ((s, dir) =>
+      graft.pipeline.Index.postings(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 2, cap = 16)),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2040,6 +2049,26 @@ object SparkEntry {
         |  CAST(length('<html><body>page ' || doc_id || '</body></html>') AS BIGINT) AS n_bytes,
         |  md5('<html><body>page ' || doc_id || '</body></html>') AS payload_md5
         |FROM documents ORDER BY url""".stripMargin,
+
+    // exact recompute of q56: same tokenizer as q54, per-(token, doc)
+    // partials, then df/tf/bottom-16 ids — min-K of a multiset is
+    // order-independent, so list_sort+slice equals the Aggregator's
+    // bounded buffer exactly
+    "q56_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), per AS (
+        |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY token, doc_id
+        |)
+        |SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+        |  CAST(sum(c) AS BIGINT) AS tf,
+        |  array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
+        |FROM per GROUP BY token HAVING count(*) >= 2
+        |ORDER BY token""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
