@@ -662,8 +662,13 @@ object SparkEntry {
       }
       streams.zipWithIndex.foreach { case (b, f) =>
         val name = if (f % 2 == 1) s"part-$f.warc.gz" else s"part-$f.warc"
-        java.nio.file.Files.write(
-          new java.io.File(tmp, name).toPath, b.toByteArray)
+        val file = new java.io.File(tmp, name)
+        java.nio.file.Files.write(file.toPath, b.toByteArray)
+        // deleteOnExit runs in REVERSE registration order: the dir was
+        // registered first (above), so files delete before it — without
+        // this, the non-empty dir delete silently fails and temp corpora
+        // accumulate across runs
+        file.deleteOnExit()
       }
       graft.sources.Warc.read(s, tmp.getAbsolutePath + "/*")
         .select(col("url"), col("warc_ts").cast("long").as("ts_epoch"),

@@ -90,7 +90,13 @@ object Index {
   /** Dictionary + head postings: per token, exact `doc_freq`/`tf` and the
     * `cap` lowest doc ids joined as a comma string (deterministic, and the
     * form a SQL oracle can recompute). Terms with `doc_freq < minDf` are
-    * dropped (hapax pruning — the standard dictionary-size control). */
+    * dropped (hapax pruning — the standard dictionary-size control).
+    *
+    * PRECONDITION: `idCol` is the documents table's primary key — ONE row
+    * per document. Duplicate id rows are not detected (detecting them would
+    * cost a second (token,id)-keyed exchange of the full index) and would
+    * count once per row in `doc_freq` and repeat in `postings`. Rows with a
+    * null id or null text contribute nothing. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
                minDf: Int = 1, cap: Int = 16): DataFrame = {
     require(minDf >= 1, "minDf must be >= 1")
@@ -98,10 +104,13 @@ object Index {
     import spark.implicits._
     val bottomK = udaf(new BottomKLongs(cap))
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+      .as[(java.lang.Long, String)]
       .flatMap { case (id, t) =>
-        if (t == null) Iterator.empty
-        else Vocab.docTokenCounts(t).map { case (tok, c) => (tok, id, c) }
+        if (id == null || t == null) Iterator.empty
+        else {
+          val i = id.longValue
+          Vocab.docTokenCounts(t).map { case (tok, c) => (tok, i, c) }
+        }
       }
       .toDF("token", "doc_id", "c")
       .groupBy(col("token"))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{ByteArrayOutputStream, EOFException, InputStream}
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -38,7 +38,9 @@ object Warc {
 
   // ---------------------------------------------------------------- parse
 
-  /** Read one CRLF-terminated ASCII line; None at clean EOF. */
+  /** Read one CRLF-terminated line; None at clean EOF. UTF-8: ISO 28500
+    * header values (notably WARC-Target-URI IRIs) may carry non-ASCII
+    * bytes — an ASCII decode would fold them all to U+FFFD silently. */
   private def readLine(in: InputStream): Option[String] = {
     val buf = new ByteArrayOutputStream(96)
     var b = in.read()
@@ -46,7 +48,7 @@ object Warc {
     while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
     val a = buf.toByteArray
     val n = if (a.nonEmpty && a(a.length - 1) == '\r') a.length - 1 else a.length
-    Some(new String(a, 0, n, US_ASCII))
+    Some(new String(a, 0, n, UTF_8))
   }
 
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
@@ -77,8 +79,97 @@ object Warc {
     }
     val statusLine = new String(block, 0, math.min(64, block.length), US_ASCII)
       .takeWhile(c => c != '\r' && c != '\n')
-    val status = statusLine.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(200)
+    // \s+ tolerates the multi-space status lines sloppy servers emit; an
+    // unparseable status becomes 0 (explicitly unknown) — NEVER 200, which
+    // would let error pages through downstream status gates as successes
+    val status = statusLine.split("\\s+").lift(1).flatMap(_.toIntOption).getOrElse(0)
     (status, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
+  }
+
+  /** Decompress concatenated gzip members STRICTLY. `GZIPInputStream`
+    * cannot be used here: its `readTrailer` swallows the IOException from a
+    * corrupt next-member header and reports clean EOF — on a 10k-member
+    * Common Crawl archive with one bit-rotted boundary that silently drops
+    * every record after the damage (verified on JDK 17). This stream frames
+    * each member itself (RFC 1952 header, raw-deflate body, CRC32+ISIZE
+    * trailer) and throws on anything malformed between members. Memory is
+    * O(64 KB) regardless of file size. */
+  private final class StrictGzipStream(src: java.io.PushbackInputStream)
+      extends InputStream {
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val inBuf = new Array[Byte](64 * 1024)
+    private var fillLen = 0
+    private var inMember = false
+    private var eof = false
+    private val one = new Array[Byte](1)
+
+    private def readU8(): Int = {
+      val b = src.read()
+      if (b < 0) throw new EOFException("truncated gzip member header/trailer")
+      b
+    }
+    private def readU16(): Int = readU8() | (readU8() << 8)
+    private def readU32(): Long =
+      readU16().toLong | (readU16().toLong << 16)
+
+    /** Parse one RFC 1952 member header; false at clean stream EOF. */
+    private def beginMember(): Boolean = {
+      val b0 = src.read()
+      if (b0 < 0) return false
+      val b1 = readU8()
+      if (b0 != 0x1f || b1 != 0x8b) throw new EOFException(
+        f"bad gzip member magic 0x$b0%02x$b1%02x (corrupt member boundary)")
+      if (readU8() != 8) throw new EOFException("unsupported gzip method")
+      val flg = readU8()
+      var i = 0
+      while (i < 6) { readU8(); i += 1 } // mtime(4), xfl, os
+      if ((flg & 4) != 0) { var n = readU16(); while (n > 0) { readU8(); n -= 1 } }
+      if ((flg & 8) != 0) while (readU8() != 0) ()   // FNAME
+      if ((flg & 16) != 0) while (readU8() != 0) ()  // FCOMMENT
+      if ((flg & 2) != 0) { readU8(); readU8() }     // FHCRC
+      inf.reset(); crc.reset(); fillLen = 0
+      inMember = true
+      true
+    }
+
+    /** Verify the member trailer against the inflated bytes. */
+    private def endMember(): Unit = {
+      val rem = inf.getRemaining
+      if (rem > 0) src.unread(inBuf, fillLen - rem, rem)
+      val c = readU32(); val isize = readU32()
+      if (c != crc.getValue) throw new EOFException(
+        s"gzip member CRC mismatch (corrupt deflate body)")
+      if (isize != (inf.getBytesWritten & 0xffffffffL)) throw new EOFException(
+        s"gzip member ISIZE mismatch: trailer $isize, inflated ${inf.getBytesWritten}")
+      inMember = false
+    }
+
+    override def read(): Int =
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (eof) return -1
+        if (!inMember && !beginMember()) { eof = true; return -1 }
+        val n =
+          try inf.inflate(b, off, len)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new EOFException(s"corrupt gzip deflate data: ${e.getMessage}") }
+        if (n > 0) { crc.update(b, off, n); return n }
+        if (inf.finished()) endMember()
+        else if (inf.needsInput()) {
+          fillLen = src.read(inBuf, 0, inBuf.length)
+          if (fillLen < 0) throw new EOFException(
+            "truncated gzip member (EOF mid-deflate)")
+          inf.setInput(inBuf, 0, fillLen)
+        } else throw new EOFException("gzip member needs a preset dictionary")
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = { inf.end(); src.close() }
   }
 
   /** Iterate response/resource records of one (possibly multi-member-gzip)
@@ -86,14 +177,14 @@ object Warc {
     * would under-read the corpus. */
   def parse(raw: InputStream): Iterator[Record] = new Iterator[Record] {
     private val in: InputStream = {
+      // pushback capacity = inflater read-ahead buffer + magic peek: a
+      // member's unconsumed tail bytes must always fit back in
       val pb = new java.io.PushbackInputStream(
-        new java.io.BufferedInputStream(raw, 64 * 1024), 2)
+        new java.io.BufferedInputStream(raw, 64 * 1024), 64 * 1024 + 2)
       val b0 = pb.read(); val b1 = pb.read()
       if (b1 >= 0) pb.unread(b1)
       if (b0 >= 0) pb.unread(b0)
-      if (b0 == 0x1f && b1 == 0x8b)
-        // concatenated members: GZIPInputStream reads them back-to-back
-        new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+      if (b0 == 0x1f && b1 == 0x8b) new StrictGzipStream(pb)
       else pb
     }
     private var nextRec: Record = _
@@ -107,12 +198,22 @@ object Warc {
           case None => return
           case Some(v) if v.startsWith("WARC/") =>
             val headers = scala.collection.mutable.Map.empty[String, String]
+            var lastKey: String = null
             var h = readLine(in).getOrElse(throw new EOFException(
               "truncated WARC header block"))
             while (h.nonEmpty) {
-              val i = h.indexOf(':')
-              if (i > 0)
-                headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
+              if (h(0) == ' ' || h(0) == '\t') {
+                // ISO 28500 §4: a value may fold onto lines led by SP/HTAB
+                if (lastKey == null) throw new EOFException(
+                  "WARC header continuation line with no preceding field")
+                headers(lastKey) = headers(lastKey) + " " + h.trim
+              } else {
+                val i = h.indexOf(':')
+                if (i <= 0) throw new EOFException(
+                  s"malformed WARC header line '${h.take(40)}'")
+                lastKey = h.substring(0, i).trim.toLowerCase
+                headers(lastKey) = h.substring(i + 1).trim
+              }
               h = readLine(in).getOrElse(throw new EOFException(
                 "truncated WARC header block"))
             }
@@ -122,9 +223,11 @@ object Warc {
             val tpe = headers.getOrElse("warc-type", "")
             val uri = headers.get("warc-target-uri")
             if ((tpe == "response" || tpe == "resource") && uri.isDefined) {
-              val ts = java.sql.Timestamp.from(
-                java.time.Instant.parse(headers.getOrElse("warc-date",
-                  "1970-01-01T00:00:00Z")))
+              // WARC-Date is mandatory (ISO 28500 §5.4) — defaulting it
+              // would plant epoch-0 timestamps in freshness logic silently
+              val ts = java.sql.Timestamp.from(java.time.Instant.parse(
+                headers.getOrElse("warc-date", throw new EOFException(
+                  s"WARC record without WARC-Date (uri=${uri.get.take(60)})"))))
               val (status, payload) =
                 if (tpe == "response") httpPayload(block) else (200, block)
               nextRec = Record(uri.get, ts, status, payload)
@@ -190,11 +293,16 @@ object Warc {
     spark.sparkContext.binaryFiles(pathGlob, mp)
       .flatMap { case (_, pds) =>
         val in = pds.open()
+        // guaranteed close on ANY task exit — early termination (limit/
+        // take) or a parse exception never reaches iterator exhaustion,
+        // and a long-lived executor would otherwise accumulate open fds
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         new Iterator[Record] {
           private val it = parse(in)
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) in.close()
+            if (!h) in.close() // prompt close at exhaustion (idempotent)
             h
           }
           override def next(): Record = it.next()

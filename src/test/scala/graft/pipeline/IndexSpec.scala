@@ -63,6 +63,15 @@ class IndexSpec extends AnyFunSuite {
     assert(got.getString(3) == (0L until 8L).mkString(","))
   }
 
+  test("null doc_id or null text rows contribute nothing") {
+    val docs = Seq((Some(0L), Some("a b")), (None, Some("a")),
+      (Some(1L), Option.empty[String])).toDF("doc_id", "text")
+    val got = Index.postings(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(("a", 1L, 1L, "0"), ("b", 1L, 1L, "0")))
+  }
+
   test("minDf prunes hapax terms") {
     val docs = Seq((0L, "common rare0"), (1L, "common rare1"))
       .toDF("doc_id", "text")

@@ -97,6 +97,76 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt gzip member boundary fails loudly, never silent truncation") {
+    // member 1 valid, then garbage where member 2's header should be —
+    // JDK GZIPInputStream reports clean EOF here (records silently lost);
+    // the strict stream must throw instead
+    val m1 = {
+      val one = new ByteArrayOutputStream()
+      Warc.writeResponse(one, "https://ok.test/0",
+        java.time.Instant.ofEpochSecond(1700000000L), 200,
+        "first".getBytes("UTF-8"))
+      Warc.gzipMember(one.toByteArray)
+    }
+    val bad = new ByteArrayOutputStream()
+    bad.write(m1)
+    bad.write(Array[Byte](0x1f, 0x55, 0x00, 0x01, 0x02)) // bad magic
+    val e = intercept[java.io.EOFException] {
+      Warc.parse(new java.io.ByteArrayInputStream(bad.toByteArray)).toSeq
+    }
+    assert(e.getMessage.contains("magic"))
+    // flipped bit inside a member's deflate body -> CRC/format error
+    val flipped = m1.clone()
+    flipped(flipped.length - 12) = (flipped(flipped.length - 12) ^ 0x40).toByte
+    intercept[java.io.EOFException] {
+      Warc.parse(new java.io.ByteArrayInputStream(flipped)).toSeq
+    }
+    // truncated mid-member -> loud
+    intercept[java.io.EOFException] {
+      Warc.parse(new java.io.ByteArrayInputStream(
+        m1.dropRight(5))).toSeq
+    }
+  }
+
+  test("strict framing: missing WARC-Date and malformed header lines throw") {
+    val noDate = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: https://x.test/\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    val e = intercept[java.io.EOFException] {
+      Warc.parse(new java.io.ByteArrayInputStream(
+        noDate.getBytes("UTF-8"))).toSeq
+    }
+    assert(e.getMessage.contains("WARC-Date"))
+    val badLine = ("WARC/1.0\r\nWARC-Type resource no colon here\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n")
+    intercept[java.io.EOFException] {
+      Warc.parse(new java.io.ByteArrayInputStream(
+        badLine.getBytes("UTF-8"))).toSeq
+    }
+  }
+
+  test("folded header values (SP/HTAB continuation) and UTF-8 URIs parse") {
+    val uri = "https://café.test/über"
+    val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: " + uri.substring(0, 14) + "\r\n " +
+      uri.substring(14) + "\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    val got = Warc.parse(new java.io.ByteArrayInputStream(
+      rec.getBytes("UTF-8"))).toSeq
+    assert(got.size == 1)
+    // folding joins with a single space at the fold point
+    assert(got.head.url == uri.substring(0, 14) + " " + uri.substring(14))
+    assert(got.head.url.contains("café"))
+  }
+
+  test("unparseable HTTP status is 0 (unknown), multi-space form tolerated") {
+    val (s1, _) = Warc.httpPayload(
+      "HTTP/1.1  404 Not Found\r\n\r\nx".getBytes("UTF-8"))
+    assert(s1 == 404) // double space: RFC-tolerated sloppy form
+    val (s2, _) = Warc.httpPayload(
+      "HTTP/1.1 ??? huh\r\n\r\nx".getBytes("UTF-8"))
+    assert(s2 == 0) // never silently 200
+  }
+
   test("Spark read over a mixed plain/gzip directory") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec")
     java.nio.file.Files.write(dir.resolve("a.warc"), mkRecords(3).toByteArray)
