@@ -686,6 +686,33 @@ object SparkEntry {
       graft.pipeline.Index.postings(t(s, dir, "documents"), "doc_id", "text",
         minDf = 2, cap = 16)),
 
+    // anchor-text aggregation (per-target inlink terms): BY-CONSTRUCTION
+    // oracle — each doc_id becomes a page whose anchors are closed-form
+    // (one absolute link to page 2d+1 — malformed-scheme variant every 3rd
+    // page to exercise repair — plus one root-relative /home.html link,
+    // plus fragment/javascript noise the extractor must skip); the REAL
+    // html parse + URL resolution + tokenize + combiner pipeline runs, and
+    // DuckDB regenerates the (target, term) multiset arithmetically.
+    "q57_anchor_topk" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { d =>
+          val n = 2 * d + 1
+          val srcHost = s"h${d % 10}.example.test"
+          val tgtHost = s"h${n % 10}.example.test"
+          val hrefA =
+            if (d % 3 == 0) s"https:/$tgtHost/p$n.html" // malformed, repaired
+            else s"https://$tgtHost/p$n.html"
+          val html =
+            s"""<html><body><a href="#top">skip me</a>
+               |<a href="javascript:void(0)">nope</a>
+               |<a href="$hrefA">alpha b${n % 5}</a>
+               |<a href="/home.html">home h${d % 4}</a></body></html>""".stripMargin
+          (s"https://$srcHost/p$d.html", html)
+        }.toDF("url", "html")
+      graft.pipeline.Anchors.topTerms(pages, "url", "html", k = 3)
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2074,6 +2101,30 @@ object SparkEntry {
         |  array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
         |FROM per GROUP BY token HAVING count(*) >= 2
         |ORDER BY token""".stripMargin,
+
+    // closed-form replay of q57's planted anchors: the (target, term)
+    // multiset is pure arithmetic in doc_id (the skip-rule noise links and
+    // the malformed-scheme variant contribute nothing / normalize away),
+    // so DuckDB aggregates and ranks it without parsing any HTML
+    "q57_anchor_topk" ->
+      """WITH links AS (
+        |  SELECT 'https://h' || ((2*doc_id+1) % 10) || '.example.test/p' || (2*doc_id+1) || '.html' AS target,
+        |    unnest(['alpha', 'b' || ((2*doc_id+1) % 5)]) AS term
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || (doc_id % 10) || '.example.test/home.html' AS target,
+        |    unnest(['home', 'h' || (doc_id % 4)]) AS term
+        |  FROM documents
+        |), agg AS (
+        |  SELECT target, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM links GROUP BY target, term
+        |), ranked AS (
+        |  SELECT target, term, cnt,
+        |    CAST(row_number() OVER (PARTITION BY target ORDER BY cnt DESC, term ASC) AS BIGINT) AS rn
+        |  FROM agg
+        |)
+        |SELECT target, term, cnt, rn FROM ranked WHERE rn <= 3
+        |ORDER BY target, rn""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
