@@ -713,6 +713,39 @@ object SparkEntry {
       graft.pipeline.Anchors.topTerms(pages, "url", "html", k = 3)
     }),
 
+    // LM fluency filter (CCNet-style perplexity gate): EXACT-RECOMPUTE
+    // oracle — the add-one bigram model trains on the lang='en' slice with
+    // deterministic (count desc, key asc) pruning, and the surprise score is
+    // quantized to integer BITS (bitLen = floor(log2)+1), so every per-doc
+    // sum is order-independent and DuckDB replays train + prune + score with
+    // length(bin(n)) arithmetic. Caps 24/512 make pruning bite at sf0.01;
+    // threshold 5000 milli-bits/bigram sits at the corpus median (en docs
+    // score ~4.8 bits, other langs ~5.15 — the gate discriminates).
+    "q58_lm_fluency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.LmScore.train(
+        docs.filter(col("lang") === "en"), "text",
+        maxUnigrams = 24, maxBigrams = 512)
+      graft.pipeline.LmScore.score(docs, "doc_id", "text", model,
+        maxBitsPerBigramMilli = 5000L)
+    }),
+
+    // data-mixture planner: EXACT-RECOMPUTE oracle — weights are closed-form
+    // in the source name (w = suffix%4 + 1), token totals are the q13 ws
+    // count, and the feasibility math (N* = min floor(T*W/w), takes, rates)
+    // is pure integer arithmetic DuckDB replays with // division.
+    "q59_mixture_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val sources = docs.select(col("source").cast("string")).distinct()
+        .as[String].collect()
+      val weights = sources.map { src =>
+        src -> (src.stripPrefix("src").toLong % 4 + 1)
+      }.toMap
+      graft.pipeline.Mixture.plan(docs, "source",
+        TextAnalysis.tokenCountWs(col("text")), weights)
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2125,6 +2158,81 @@ object SparkEntry {
         |)
         |SELECT target, term, cnt, rn FROM ranked WHERE rn <= 3
         |ORDER BY target, rn""".stripMargin,
+
+    // full replay of q58: train (en slice), prune (row_number over the same
+    // total order), score (bit-length arithmetic via bin()); zipped unnests
+    // keep each bigram aligned with its left token
+    "q58_lm_fluency" ->
+      """WITH tr AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE lang = 'en'
+        |), trkey AS (
+        |  SELECT unnest(toks) AS key FROM tr
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || chr(1) || toks[i+1])) AS key FROM tr
+        |), cnt AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS c FROM trkey GROUP BY key
+        |), uni AS (
+        |  SELECT key, c FROM (
+        |    SELECT key, c, row_number() OVER (ORDER BY c DESC, key ASC) AS rn
+        |    FROM cnt WHERE NOT contains(key, chr(1))) t WHERE rn <= 24
+        |), bi AS (
+        |  SELECT key, c FROM (
+        |    SELECT key, c, row_number() OVER (ORDER BY c DESC, key ASC) AS rn
+        |    FROM cnt WHERE contains(key, chr(1))) t WHERE rn <= 512
+        |), v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab FROM cnt WHERE NOT contains(key, chr(1))
+        |), doctok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), flat AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || chr(1) || toks[i+1])) AS bg
+        |  FROM doctok
+        |), scored AS (
+        |  SELECT f.doc_id,
+        |    CAST(length(bin(COALESCE(u.c, 0) + v.vocab)) AS BIGINT)
+        |      - CAST(length(bin(COALESCE(b.c, 0) + 1)) AS BIGINT) AS sb
+        |  FROM flat f CROSS JOIN v
+        |  LEFT JOIN uni u ON f.w1 = u.key
+        |  LEFT JOIN bi b ON f.bg = b.key
+        |), agg AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(count(s.sb), 0) AS BIGINT) AS n_bigrams,
+        |    CAST(COALESCE(sum(s.sb), 0) AS BIGINT) AS bits
+        |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, n_bigrams, bits,
+        |  CASE WHEN n_bigrams > 0 THEN bits * 1000 // n_bigrams ELSE 0 END AS bits_per_bigram_milli,
+        |  bits * 1000 <= 5000 * n_bigrams AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // integer replay of q59: same totals, same closed-form weights, same
+    // floor-division plan math
+    "q59_mixture_plan" ->
+      """WITH tot AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS tokens_avail
+        |  FROM documents GROUP BY source
+        |), wts AS (
+        |  SELECT source, tokens_avail,
+        |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
+        |  FROM tot
+        |), w AS (
+        |  SELECT CAST(sum(weight) AS BIGINT) AS tw FROM wts
+        |), ns AS (
+        |  SELECT CAST(min(tokens_avail * w.tw // weight) AS BIGINT) AS nstar
+        |  FROM wts CROSS JOIN w
+        |)
+        |SELECT source, tokens_avail, weight,
+        |  CAST(ns.nstar * weight // w.tw AS BIGINT) AS take_tokens,
+        |  CAST(CASE WHEN tokens_avail > 0
+        |    THEN (ns.nstar * weight // w.tw) * 1000 // tokens_avail
+        |    ELSE 0 END AS BIGINT) AS rate_milli,
+        |  CAST(tokens_avail - ns.nstar * weight // w.tw AS BIGINT) AS surplus
+        |FROM wts CROSS JOIN w CROSS JOIN ns ORDER BY source""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
