@@ -746,6 +746,39 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")), weights)
     }),
 
+    // CDX capture index (web-archive lookup rows): BY-CONSTRUCTION oracle —
+    // two plain .warc archives are synthesized with closed-form record ids,
+    // making every record's byte extent pure string-length arithmetic in
+    // doc_id; the REAL indexer runs (streaming scan, byte accounting, SURT
+    // keys, ts14, md5 digests) and DuckDB replays length closed-form and
+    // offset as a window prefix-sum within each file. Compressed-member
+    // extents (.warc.gz) are not SQL-replayable — CdxSpec pins them with
+    // slice-and-reparse tests (gunzip exactly [offset, offset+length) and
+    // get the record back).
+    "q60_cdx_index" -> ((s, dir) => {
+      val n = t(s, dir, "documents").count().toInt
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdx").toFile
+      tmp.deleteOnExit()
+      val files = 2
+      val streams = Array.fill(files)(new java.io.ByteArrayOutputStream())
+      (0 until n).foreach { i =>
+        val status = if (i % 7 == 3) 404 else 200
+        graft.sources.Warc.writeResponse(streams(i % files),
+          s"https://host${i % 40}.example.test/p$i",
+          java.time.Instant.ofEpochSecond(1700000000L + i), status,
+          s"<html><body>page $i</body></html>".getBytes("UTF-8"),
+          recordId = s"urn:graft:rec$i")
+      }
+      streams.zipWithIndex.foreach { case (b, f) =>
+        val file = new java.io.File(tmp, s"part-$f.warc")
+        java.nio.file.Files.write(file.toPath, b.toByteArray)
+        // deleteOnExit runs in REVERSE registration order: dir registered
+        // first, so files delete before it (same pattern as q55)
+        file.deleteOnExit()
+      }
+      graft.sources.Cdx.index(s, tmp.getAbsolutePath + "/*").orderBy("url")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2233,6 +2266,43 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS rate_milli,
         |  CAST(tokens_avail - ns.nstar * weight // w.tw AS BIGINT) AS surplus
         |FROM wts CROSS JOIN w CROSS JOIN ns ORDER BY source""".stripMargin,
+
+    // closed-form replay of q60's synthesized archives: with a closed-form
+    // WARC-Record-ID every byte of a record is determined by doc_id, so its
+    // extent is string-length arithmetic (block = 59 + digits(status) +
+    // digits(plen) + plen; record = 177 + len(rid) + len(url) +
+    // digits(block) + block — constants pinned by CdxSpec's tiling tests)
+    // and offset is a per-file window prefix-sum. SURT/ts14/digest replay
+    // as string ops on the same closed forms.
+    "q60_cdx_index" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'https://host' || (doc_id % 40) || '.example.test/p' || doc_id AS url,
+        |    'urn:graft:rec' || doc_id AS rid,
+        |    CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS status,
+        |    '<html><body>page ' || doc_id || '</body></html>' AS payload
+        |  FROM documents
+        |), rec AS (
+        |  SELECT doc_id, url, status, payload,
+        |    177 + length(rid) + length(url)
+        |      + length(CAST(59 + length(CAST(status AS VARCHAR))
+        |          + length(CAST(length(payload) AS VARCHAR)) + length(payload) AS VARCHAR))
+        |      + 59 + length(CAST(status AS VARCHAR))
+        |      + length(CAST(length(payload) AS VARCHAR)) + length(payload) AS rec_len
+        |  FROM base
+        |)
+        |SELECT
+        |  'test,example,host' || (doc_id % 40) || ')/p' || doc_id AS surt,
+        |  strftime(TIMESTAMP '2023-11-14 22:13:20' + INTERVAL (doc_id) SECOND, '%Y%m%d%H%M%S') AS ts14,
+        |  url,
+        |  CAST(status AS INTEGER) AS status,
+        |  'text/html' AS mime,
+        |  md5(payload) AS digest,
+        |  'part-' || (doc_id % 2) || '.warc' AS filename,
+        |  CAST(COALESCE(SUM(rec_len) OVER (PARTITION BY doc_id % 2 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+        |  CAST(rec_len AS BIGINT) AS length
+        |FROM rec ORDER BY url""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,

@@ -254,6 +254,38 @@ object UrlOps {
   def uniqueKey(jobId: String, url: String): String = s"$jobId-${normalize(url)}"
 
   /**
+   * SURT (Sort-friendly URI Reordering Transform) key — the canonical CDX
+   * ordering key of web-archive indexes (the public Heritrix/OpenWayback/
+   * pywb convention): canonicalize via [[normalize]] (lowercase scheme+host,
+   * sorted query, fragment dropped, default port stripped), then drop the
+   * scheme and userinfo, strip one leading `www`/`www2`/… label, reverse the
+   * host labels joined with commas, keep an explicit port as `:port`, and
+   * append `)` + path (+ `?query`). The whole key is lowercased so captures
+   * of one page differing only in path case sort adjacently; same-domain
+   * captures become one contiguous key range — the property that lets a
+   * 100 TB index prune partitions by domain prefix.
+   *
+   * `com,example)/a/b?x=1` for `https://www.Example.com/a/b?x=1`.
+   */
+  def surt(url: String): String = {
+    val n = normalize(url)
+    parse(n) match {
+      case Some(p) if p.authority.exists(_.nonEmpty) =>
+        val h = host(n)
+        val bare =
+          if (h.matches("www\\d*\\..+")) h.substring(h.indexOf('.') + 1) else h
+        // IPv6 literals and bare IPs are not label-reversible — keep as-is
+        val rev =
+          if (bare.startsWith("[") || bare.forall(c => c.isDigit || c == '.')) bare
+          else bare.split('.').reverse.mkString(",")
+        val port = portOf(p.authority.get).map(":" + _).getOrElse("")
+        val path = if (p.path.isEmpty) "/" else p.path
+        (rev + port + ")" + path + p.query.map("?" + _).getOrElse("")).toLowerCase
+      case _ => n.toLowerCase
+    }
+  }
+
+  /**
    * Glob -> anchored regex, minimatch-style subset used by the reference's
    * include/exclude paths (Base.ts:327-353): `**` crosses `/`, `*` and `?`
    * do not. A `/body/flags` literal is compiled as a (non-anchored) regex,

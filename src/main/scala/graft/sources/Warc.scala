@@ -41,7 +41,7 @@ object Warc {
   /** Read one CRLF-terminated line; None at clean EOF. UTF-8: ISO 28500
     * header values (notably WARC-Target-URI IRIs) may carry non-ASCII
     * bytes — an ASCII decode would fold them all to U+FFFD silently. */
-  private def readLine(in: InputStream): Option[String] = {
+  private[sources] def readLine(in: InputStream): Option[String] = {
     val buf = new ByteArrayOutputStream(96)
     var b = in.read()
     if (b < 0) return None
@@ -86,6 +86,27 @@ object Warc {
     (status, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
   }
 
+  /** Media type of an HTTP/1.x response block (Content-Type header, any
+    * parameters stripped, lowercased); None for non-HTTP blocks or when the
+    * header is absent. Header section only — never scans the body. */
+  private[sources] def httpMime(block: Array[Byte]): Option[String] = {
+    if (block.length < 5 ||
+        !new String(block, 0, 5, US_ASCII).equals("HTTP/")) return None
+    var i = 0
+    var bodyAt = block.length
+    while (i + 3 < block.length && bodyAt == block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+          block(i + 2) == '\r' && block(i + 3) == '\n') bodyAt = i + 4
+      i += 1
+    }
+    new String(block, 0, bodyAt, US_ASCII).split("\r\n").iterator
+      .map(_.split(":", 2))
+      .collectFirst {
+        case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
+          v.split(";")(0).trim.toLowerCase
+      }.filter(_.nonEmpty)
+  }
+
   /** Decompress concatenated gzip members STRICTLY. `GZIPInputStream`
     * cannot be used here: its `readTrailer` swallows the IOException from a
     * corrupt next-member header and reports clean EOF — on a 10k-member
@@ -94,7 +115,7 @@ object Warc {
     * each member itself (RFC 1952 header, raw-deflate body, CRC32+ISIZE
     * trailer) and throws on anything malformed between members. Memory is
     * O(64 KB) regardless of file size. */
-  private final class StrictGzipStream(src: java.io.PushbackInputStream)
+  private[sources] final class StrictGzipStream(src: java.io.PushbackInputStream)
       extends InputStream {
     private val inf = new java.util.zip.Inflater(true)
     private val crc = new java.util.zip.CRC32
@@ -103,10 +124,15 @@ object Warc {
     private var inMember = false
     private var eof = false
     private val one = new Array[Byte](1)
+    // compressed-stream byte accounting (net of pushback), so the CDX
+    // indexer can report member offsets addressable by HTTP range requests
+    private var srcPos = 0L
+    private var memberAt = 0L
 
     private def readU8(): Int = {
       val b = src.read()
       if (b < 0) throw new EOFException("truncated gzip member header/trailer")
+      srcPos += 1
       b
     }
     private def readU16(): Int = readU8() | (readU8() << 8)
@@ -115,8 +141,10 @@ object Warc {
 
     /** Parse one RFC 1952 member header; false at clean stream EOF. */
     private def beginMember(): Boolean = {
+      memberAt = srcPos
       val b0 = src.read()
       if (b0 < 0) return false
+      srcPos += 1
       val b1 = readU8()
       if (b0 != 0x1f || b1 != 0x8b) throw new EOFException(
         f"bad gzip member magic 0x$b0%02x$b1%02x (corrupt member boundary)")
@@ -136,13 +164,32 @@ object Warc {
     /** Verify the member trailer against the inflated bytes. */
     private def endMember(): Unit = {
       val rem = inf.getRemaining
-      if (rem > 0) src.unread(inBuf, fillLen - rem, rem)
+      if (rem > 0) { src.unread(inBuf, fillLen - rem, rem); srcPos -= rem }
       val c = readU32(); val isize = readU32()
       if (c != crc.getValue) throw new EOFException(
         s"gzip member CRC mismatch (corrupt deflate body)")
       if (isize != (inf.getBytesWritten & 0xffffffffL)) throw new EOFException(
         s"gzip member ISIZE mismatch: trailer $isize, inflated ${inf.getBytesWritten}")
       inMember = false
+    }
+
+    /** One inflate step: returns n > 0 bytes produced into `b`, or 0 after
+      * advancing internal state (member ended, or more input was fed). */
+    private def step(b: Array[Byte], off: Int, len: Int): Int = {
+      val n =
+        try inf.inflate(b, off, len)
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new EOFException(s"corrupt gzip deflate data: ${e.getMessage}") }
+      if (n > 0) { crc.update(b, off, n); return n }
+      if (inf.finished()) endMember()
+      else if (inf.needsInput()) {
+        fillLen = src.read(inBuf, 0, inBuf.length)
+        if (fillLen < 0) throw new EOFException(
+          "truncated gzip member (EOF mid-deflate)")
+        srcPos += fillLen
+        inf.setInput(inBuf, 0, fillLen)
+      } else throw new EOFException("gzip member needs a preset dictionary")
+      0
     }
 
     override def read(): Int =
@@ -153,40 +200,101 @@ object Warc {
       while (true) {
         if (eof) return -1
         if (!inMember && !beginMember()) { eof = true; return -1 }
-        val n =
-          try inf.inflate(b, off, len)
-          catch { case e: java.util.zip.DataFormatException =>
-            throw new EOFException(s"corrupt gzip deflate data: ${e.getMessage}") }
-        if (n > 0) { crc.update(b, off, n); return n }
-        if (inf.finished()) endMember()
-        else if (inf.needsInput()) {
-          fillLen = src.read(inBuf, 0, inBuf.length)
-          if (fillLen < 0) throw new EOFException(
-            "truncated gzip member (EOF mid-deflate)")
-          inf.setInput(inBuf, 0, fillLen)
-        } else throw new EOFException("gzip member needs a preset dictionary")
+        val n = step(b, off, len)
+        if (n > 0) return n
       }
       -1 // unreachable
     }
 
+    /** Read exactly one gzip member: (compressed offset, compressed length,
+      * inflated bytes); None at clean EOF. Memory is O(member) — used by the
+      * CDX indexer, where the member IS the addressable unit (Common Crawl
+      * writes one record per member so a reader can range-request it). */
+    def readMember(): Option[(Long, Long, Array[Byte])] = {
+      if (eof) return None
+      if (inMember) throw new IllegalStateException(
+        "readMember() interleaved with read() mid-member")
+      if (!beginMember()) { eof = true; return None }
+      val start = memberAt
+      val out = new ByteArrayOutputStream(inBuf.length)
+      val tmp = new Array[Byte](inBuf.length)
+      while (inMember) {
+        val n = step(tmp, 0, tmp.length)
+        if (n > 0) out.write(tmp, 0, n)
+      }
+      Some((start, srcPos - start, out.toByteArray))
+    }
+
     override def close(): Unit = { inf.end(); src.close() }
+  }
+
+  /** Header block + Content-Length-framed content block, consumed through
+    * the block's final byte. Caller has already read the version line. */
+  private[sources] def readHeadersAndBlock(in: InputStream)
+      : (scala.collection.Map[String, String], Array[Byte]) = {
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var lastKey: String = null
+    var h = readLine(in).getOrElse(throw new EOFException(
+      "truncated WARC header block"))
+    while (h.nonEmpty) {
+      if (h(0) == ' ' || h(0) == '\t') {
+        // ISO 28500 §4: a value may fold onto lines led by SP/HTAB
+        if (lastKey == null) throw new EOFException(
+          "WARC header continuation line with no preceding field")
+        headers(lastKey) = headers(lastKey) + " " + h.trim
+      } else {
+        val i = h.indexOf(':')
+        if (i <= 0) throw new EOFException(
+          s"malformed WARC header line '${h.take(40)}'")
+        lastKey = h.substring(0, i).trim.toLowerCase
+        headers(lastKey) = h.substring(i + 1).trim
+      }
+      h = readLine(in).getOrElse(throw new EOFException(
+        "truncated WARC header block"))
+    }
+    val len = headers.getOrElse("content-length", throw new EOFException(
+      "WARC record without Content-Length")).toLong
+    (headers, readFully(in, len))
+  }
+
+  /** Record-selection policy shared by the pages reader and the CDX
+    * indexer: response/resource records with a Target-URI; response blocks
+    * split into (status, payload), resource blocks taken whole as 200. */
+  private[sources] def toRecord(headers: scala.collection.Map[String, String],
+      block: Array[Byte]): Option[Record] = {
+    val tpe = headers.getOrElse("warc-type", "")
+    val uri = headers.get("warc-target-uri")
+    if ((tpe == "response" || tpe == "resource") && uri.isDefined) {
+      // WARC-Date is mandatory (ISO 28500 §5.4) — defaulting it
+      // would plant epoch-0 timestamps in freshness logic silently
+      val ts = java.sql.Timestamp.from(java.time.Instant.parse(
+        headers.getOrElse("warc-date", throw new EOFException(
+          s"WARC record without WARC-Date (uri=${uri.get.take(60)})"))))
+      val (status, payload) =
+        if (tpe == "response") httpPayload(block) else (200, block)
+      Some(Record(uri.get, ts, status, payload))
+    } else None
+  }
+
+  /** Magic-peek wrapper: the stream itself for plain WARC, the strict
+    * member-framing decompressor for .warc.gz. */
+  private[sources] def decoded(raw: InputStream): InputStream = {
+    // pushback capacity = inflater read-ahead buffer + magic peek: a
+    // member's unconsumed tail bytes must always fit back in
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 64 * 1024), 64 * 1024 + 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new StrictGzipStream(pb)
+    else pb
   }
 
   /** Iterate response/resource records of one (possibly multi-member-gzip)
     * WARC stream. Malformed framing fails loudly — a silently skipped tail
     * would under-read the corpus. */
   def parse(raw: InputStream): Iterator[Record] = new Iterator[Record] {
-    private val in: InputStream = {
-      // pushback capacity = inflater read-ahead buffer + magic peek: a
-      // member's unconsumed tail bytes must always fit back in
-      val pb = new java.io.PushbackInputStream(
-        new java.io.BufferedInputStream(raw, 64 * 1024), 64 * 1024 + 2)
-      val b0 = pb.read(); val b1 = pb.read()
-      if (b1 >= 0) pb.unread(b1)
-      if (b0 >= 0) pb.unread(b0)
-      if (b0 == 0x1f && b1 == 0x8b) new StrictGzipStream(pb)
-      else pb
-    }
+    private val in: InputStream = decoded(raw)
     private var nextRec: Record = _
     private def advance(): Unit = {
       nextRec = null
@@ -197,41 +305,8 @@ object Warc {
         line match {
           case None => return
           case Some(v) if v.startsWith("WARC/") =>
-            val headers = scala.collection.mutable.Map.empty[String, String]
-            var lastKey: String = null
-            var h = readLine(in).getOrElse(throw new EOFException(
-              "truncated WARC header block"))
-            while (h.nonEmpty) {
-              if (h(0) == ' ' || h(0) == '\t') {
-                // ISO 28500 §4: a value may fold onto lines led by SP/HTAB
-                if (lastKey == null) throw new EOFException(
-                  "WARC header continuation line with no preceding field")
-                headers(lastKey) = headers(lastKey) + " " + h.trim
-              } else {
-                val i = h.indexOf(':')
-                if (i <= 0) throw new EOFException(
-                  s"malformed WARC header line '${h.take(40)}'")
-                lastKey = h.substring(0, i).trim.toLowerCase
-                headers(lastKey) = h.substring(i + 1).trim
-              }
-              h = readLine(in).getOrElse(throw new EOFException(
-                "truncated WARC header block"))
-            }
-            val len = headers.getOrElse("content-length", throw new EOFException(
-              "WARC record without Content-Length")).toLong
-            val block = readFully(in, len)
-            val tpe = headers.getOrElse("warc-type", "")
-            val uri = headers.get("warc-target-uri")
-            if ((tpe == "response" || tpe == "resource") && uri.isDefined) {
-              // WARC-Date is mandatory (ISO 28500 §5.4) — defaulting it
-              // would plant epoch-0 timestamps in freshness logic silently
-              val ts = java.sql.Timestamp.from(java.time.Instant.parse(
-                headers.getOrElse("warc-date", throw new EOFException(
-                  s"WARC record without WARC-Date (uri=${uri.get.take(60)})"))))
-              val (status, payload) =
-                if (tpe == "response") httpPayload(block) else (200, block)
-              nextRec = Record(uri.get, ts, status, payload)
-            }
+            val (headers, block) = readHeadersAndBlock(in)
+            toRecord(headers, block).foreach(r => nextRec = r)
           case Some(other) => throw new EOFException(
             s"expected WARC/ version line, got '${other.take(40)}'")
         }
@@ -249,9 +324,12 @@ object Warc {
   private def crlf(sb: ByteArrayOutputStream, s: String): Unit =
     sb.write((s + "\r\n").getBytes(US_ASCII))
 
-  /** One WARC/1.0 response record (deterministic — no random record ids). */
+  /** One WARC/1.0 response record (deterministic — no random record ids).
+    * `recordId` overrides the default hash-derived id (CDX oracles pass a
+    * closed-form id so the record's byte length is SQL-computable). */
   def writeResponse(out: ByteArrayOutputStream, url: String,
-      ts: java.time.Instant, status: Int, payload: Array[Byte]): Unit = {
+      ts: java.time.Instant, status: Int, payload: Array[Byte],
+      recordId: String = null): Unit = {
     val http = new ByteArrayOutputStream()
     crlf(http, s"HTTP/1.1 $status OK")
     crlf(http, "Content-Type: text/html")
@@ -259,9 +337,12 @@ object Warc {
     crlf(http, "")
     http.write(payload)
     val block = http.toByteArray
+    val rid =
+      if (recordId != null) recordId
+      else s"urn:graft:${graft.frontier.SeenBloom.hash64(url)}"
     crlf(out, "WARC/1.0")
     crlf(out, "WARC-Type: response")
-    crlf(out, s"WARC-Record-ID: <urn:graft:${graft.frontier.SeenBloom.hash64(url)}>")
+    crlf(out, s"WARC-Record-ID: <$rid>")
     crlf(out, s"WARC-Date: $ts")
     crlf(out, s"WARC-Target-URI: $url")
     crlf(out, "Content-Type: application/http; msgtype=response")
