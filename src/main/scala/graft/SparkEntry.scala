@@ -779,6 +779,61 @@ object SparkEntry {
       graft.sources.Cdx.index(s, tmp.getAbsolutePath + "/*").orderBy("url")
     }),
 
+    // sitemap reader (sitemaps.org discovery channel): BY-CONSTRUCTION
+    // oracle — every doc_id becomes one sitemap body closed-form in doc_id
+    // (d%5==0: a <sitemapindex> with two members; d%7==2: a plain-text list;
+    // else a 3-url <urlset> planting XML entities, a relative loc that must
+    // resolve against the sitemap's own URL, full-instant and date-only
+    // lastmods, an invalid changefreq each 8th slot, and exact-decimal
+    // priorities); the REAL tag walker + W3C-datetime + BigDecimal parsing
+    // runs, and DuckDB regenerates every row arithmetically.
+    "q61_sitemap_entries" -> ((s, dir) => {
+      import s.implicits._
+      val freqs = Array("always", "hourly", "daily", "weekly", "monthly",
+        "yearly", "never", "often") // index 7 is invalid -> null
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { d =>
+          val host = s"s${d % 40}.example.test"
+          val body =
+            if (d % 5 == 0) {
+              val lm = java.time.Instant.parse("2024-03-01T08:00:00Z")
+                .plusSeconds(d)
+              s"""<?xml version="1.0" encoding="UTF-8"?>
+                 |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+                 |<sitemap><loc>https://$host/sm/$d/a.xml</loc><lastmod>$lm</lastmod></sitemap>
+                 |<sitemap><loc>https://$host/sm/$d/b.xml</loc></sitemap>
+                 |</sitemapindex>""".stripMargin
+            } else if (d % 7 == 2) {
+              s"https://$host/t$d/0\nhttps://$host/t$d/1\n"
+            } else {
+              val lastmod =
+                if (d % 2 == 0)
+                  java.time.Instant.parse("2024-03-01T08:00:00Z")
+                    .plusSeconds(d).toString
+                else f"2024-01-${1 + d % 28}%02d"
+              val urls = (0 until 3).map { j =>
+                val loc = j match {
+                  case 0 => s"https://$host/p$d/0"
+                  case 1 => s"https://$host/p$d/1?a=1&amp;b=2"
+                  case _ => s"/p$d/2-rel"
+                }
+                val pr = ((d + j) % 11).toInt
+                s"<url><loc>$loc</loc><lastmod>$lastmod</lastmod>" +
+                  s"<changefreq>${freqs(((d + j) % 8).toInt)}</changefreq>" +
+                  s"<priority>${pr / 10}.${pr % 10}</priority></url>"
+              }.mkString
+              "<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+                urls + "</urlset>"
+            }
+          (s"https://$host/sitemap$d.xml", body)
+        }.toDF("url", "html")
+      graft.sources.Sitemap.entries(pages, "url", "html")
+        .select(col("sitemap_url"), col("kind"), col("url"),
+          col("lastmod_ts").cast("long").as("lastmod_epoch"),
+          col("changefreq"), col("priority_milli"))
+        .orderBy("sitemap_url", "url")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2303,6 +2358,49 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
         |  CAST(rec_len AS BIGINT) AS length
         |FROM rec ORDER BY url""".stripMargin,
+
+    // arithmetic replay of q61's planted sitemap bodies: the three body
+    // formats regenerate as three UNION branches (index members, text
+    // lines, urlset entries with the entity/relative-loc/invalid-freq
+    // plants); epochs are integer arithmetic on the planted instants
+    // (1709280000 = 2024-03-01T08:00:00Z, 1704067200 = 2024-01-01)
+    "q61_sitemap_entries" ->
+      """WITH base AS (
+        |  SELECT doc_id AS d, 's' || (doc_id % 40) || '.example.test' AS h FROM documents
+        |), idx AS (
+        |  SELECT 'https://' || h || '/sitemap' || d || '.xml' AS sitemap_url,
+        |    'sitemap' AS kind,
+        |    'https://' || h || '/sm/' || d || '/a.xml' AS url,
+        |    CAST(1709280000 + d AS BIGINT) AS lastmod_epoch,
+        |    CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS BIGINT) AS priority_milli
+        |  FROM base WHERE d % 5 = 0
+        |  UNION ALL
+        |  SELECT 'https://' || h || '/sitemap' || d || '.xml', 'sitemap',
+        |    'https://' || h || '/sm/' || d || '/b.xml',
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM base WHERE d % 5 = 0
+        |), txt AS (
+        |  SELECT 'https://' || h || '/sitemap' || d || '.xml' AS sitemap_url, 'url' AS kind,
+        |    'https://' || h || '/t' || d || '/' || j AS url,
+        |    CAST(NULL AS BIGINT) AS lastmod_epoch, CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS BIGINT) AS priority_milli
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 2)) AS j) js
+        |  WHERE d % 5 <> 0 AND d % 7 = 2
+        |), xmlu AS (
+        |  SELECT 'https://' || h || '/sitemap' || d || '.xml' AS sitemap_url, 'url' AS kind,
+        |    CASE j WHEN 0 THEN 'https://' || h || '/p' || d || '/0'
+        |           WHEN 1 THEN 'https://' || h || '/p' || d || '/1?a=1&b=2'
+        |           ELSE 'https://' || h || '/p' || d || '/2-rel' END AS url,
+        |    CAST(CASE WHEN d % 2 = 0 THEN 1709280000 + d
+        |              ELSE 1704067200 + (d % 28) * 86400 END AS BIGINT) AS lastmod_epoch,
+        |    (['always','hourly','daily','weekly','monthly','yearly','never',NULL])[CAST((d + j) % 8 AS INTEGER) + 1] AS changefreq,
+        |    CAST(((d + j) % 11) * 100 AS BIGINT) AS priority_milli
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+        |  WHERE d % 5 <> 0 AND d % 7 <> 2
+        |)
+        |SELECT * FROM (SELECT * FROM idx UNION ALL SELECT * FROM txt UNION ALL SELECT * FROM xmlu)
+        |ORDER BY sitemap_url, url""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,

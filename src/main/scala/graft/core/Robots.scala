@@ -33,7 +33,8 @@ object Robots {
 
   final case class Group(agents: Seq[String], rules: Seq[Rule], crawlDelay: Option[Double])
 
-  final case class RobotRules(groups: Seq[Group]) {
+  final case class RobotRules(groups: Seq[Group],
+      sitemaps: Seq[String] = Nil) {
     /** Pick the most specific matching group for `agent` (longest UA token
       * match; `*` group as fallback), per RFC 9309 §2.2.1. */
     def groupFor(agent: String): Option[Group] = {
@@ -67,6 +68,7 @@ object Robots {
 
   def parse(body: String): RobotRules = {
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
+    val sitemaps = scala.collection.mutable.ArrayBuffer[String]()
     var agents = scala.collection.mutable.ArrayBuffer[String]()
     var rules = scala.collection.mutable.ArrayBuffer[Rule]()
     var delay: Option[Double] = None
@@ -100,13 +102,18 @@ object Robots {
             case "crawl-delay" =>
               inGroupBody = true
               delay = scala.util.Try(value.toDouble).toOption
-            case _ => inGroupBody = true // sitemap etc. — group continues
+            case "sitemap" =>
+              // collected globally (group-independent per sitemaps.org);
+              // still continues the group body like any non-UA line
+              inGroupBody = true
+              if (value.nonEmpty) sitemaps += value
+            case _ => inGroupBody = true // unknown directive — group continues
           }
         }
       }
     }
     flush()
-    RobotRules(groups.toSeq)
+    RobotRules(groups.toSeq, sitemaps.toSeq)
   }
 
   /** Convenience: is `url` fetchable for `agent` under `rules`? */
