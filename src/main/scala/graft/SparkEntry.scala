@@ -2252,7 +2252,8 @@ object SparkEntry {
     // keep each bigram aligned with its left token
     "q58_lm_fluency" ->
       """WITH tr AS (
-        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> len(x) > 0 AND NOT contains(x, chr(1))) AS toks
         |  FROM documents WHERE lang = 'en'
         |), trkey AS (
         |  SELECT unnest(toks) AS key FROM tr
@@ -2271,7 +2272,8 @@ object SparkEntry {
         |), v AS (
         |  SELECT CAST(count(*) AS BIGINT) AS vocab FROM cnt WHERE NOT contains(key, chr(1))
         |), doctok AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> len(x) > 0 AND NOT contains(x, chr(1))) AS toks
         |  FROM documents
         |), flat AS (
         |  SELECT doc_id,

@@ -97,21 +97,36 @@ object Extractor {
  * keep only http(s), preserve document order, de-dup within the page.
  */
 object LinkExtractor {
-  def extract(doc: Html.Doc, baseUrl: String): Seq[String] = {
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
+  /** Every qualifying out-link occurrence of the page, document order,
+    * duplicates kept, as (resolvedTarget, anchorElem). This is the ONE
+    * definition of the href skip rules (fragment/javascript/mailto/tel),
+    * the resolveOpt repair, and the http(s)-scheme gate: frontier expansion
+    * ([[extract]], per-page dedup) and anchor-text evidence
+    * (graft.pipeline.Anchors, occurrences kept) both derive from it, so a
+    * skip-rule change cannot silently diverge the two paths. */
+  def occurrences(doc: Html.Doc, baseUrl: String): Seq[(String, Html.Elem)] = {
+    val out = Seq.newBuilder[(String, Html.Elem)]
     Html.select(doc, "a[href]").foreach { a =>
       a.attr("href").map(_.trim).filter(_.nonEmpty).foreach { href =>
-        if (!href.startsWith("#") && !href.toLowerCase.startsWith("javascript:") &&
-            !href.toLowerCase.startsWith("mailto:") && !href.toLowerCase.startsWith("tel:")) {
+        val lower = href.toLowerCase
+        if (!href.startsWith("#") && !lower.startsWith("javascript:") &&
+            !lower.startsWith("mailto:") && !lower.startsWith("tel:")) {
           // Crawlee enqueueLinks skips hrefs `new URL` rejects — resolveOpt
           // None mirrors that (e.g. `http://` with an empty host)
           UrlOps.resolveOpt(baseUrl, href).foreach { abs =>
             val scheme = UrlOps.parse(abs).flatMap(_.scheme).map(_.toLowerCase)
-            if (scheme.contains("http") || scheme.contains("https")) seen += abs
+            if (scheme.contains("http") || scheme.contains("https"))
+              out += ((abs, a))
           }
         }
       }
     }
+    out.result()
+  }
+
+  def extract(doc: Html.Doc, baseUrl: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    occurrences(doc, baseUrl).foreach { case (abs, _) => seen += abs }
     seen.toSeq
   }
 

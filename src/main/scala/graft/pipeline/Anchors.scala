@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.core.{Html, UrlOps}
+import graft.core.{Html, LinkExtractor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,24 +40,12 @@ import org.apache.spark.sql.functions._
 object Anchors {
 
   /** (resolvedTargetUrl, anchorText) pairs of one page, document order,
-    * every occurrence kept. */
-  def pageAnchors(html: String, baseUrl: String): Seq[(String, String)] = {
-    val out = Seq.newBuilder[(String, String)]
-    Html.select(Html.parse(html), "a[href]").foreach { a =>
-      a.attr("href").map(_.trim).filter(_.nonEmpty).foreach { href =>
-        val lower = href.toLowerCase
-        if (!href.startsWith("#") && !lower.startsWith("javascript:") &&
-            !lower.startsWith("mailto:") && !lower.startsWith("tel:")) {
-          UrlOps.resolveOpt(baseUrl, href).foreach { abs =>
-            val scheme = UrlOps.parse(abs).flatMap(_.scheme).map(_.toLowerCase)
-            if (scheme.contains("http") || scheme.contains("https"))
-              out += ((abs, a.text))
-          }
-        }
-      }
-    }
-    out.result()
-  }
+    * every occurrence kept. Skip rules, repair, and scheme gate are
+    * [[graft.core.LinkExtractor.occurrences]] — the same definition the
+    * frontier uses, so anchor evidence can never diverge from crawl links. */
+  def pageAnchors(html: String, baseUrl: String): Seq[(String, String)] =
+    LinkExtractor.occurrences(Html.parse(html), baseUrl)
+      .map { case (abs, a) => (abs, a.text) }
 
   /** Anchor terms of one page as combined ((target, term), count) partials. */
   private def pageTermCounts(html: String, baseUrl: String)
@@ -78,9 +66,14 @@ object Anchors {
     * Output (target, term, cnt, rn), rn in [1, k].
     *
     * `combinerCap` bounds the per-task combiner map; the default flushes at
-    * 1 << 16 entries (~a few MB), far below executor memory at any width. */
+    * 1 << 16 entries (~a few MB), far below executor memory at any width.
+    *
+    * `sorted` (default true) appends a global (target, rn) ordering — a
+    * second, range-partitioning exchange over the aggregated index, wanted
+    * only for deterministic output/oracles. Production at scale passes
+    * false and keeps the operator at its ONE target-keyed exchange. */
   def topTerms(pages: DataFrame, urlCol: String, htmlCol: String, k: Int,
-               combinerCap: Int = 1 << 16): DataFrame = {
+               combinerCap: Int = 1 << 16, sorted: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     require(combinerCap > 0, "combinerCap must be positive")
     val spark = pages.sparkSession
@@ -117,12 +110,12 @@ object Anchors {
 
     val w = Window.partitionBy(col("target"))
       .orderBy(col("cnt").desc, col("term").asc)
-    combined
+    val ranked = combined
       .repartition(col("target")) // the ONE exchange of this operator
       .groupBy(col("target"), col("term"))
       .agg(sum(col("cnt")).as("cnt"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .orderBy(col("target"), col("rn"))
+    if (sorted) ranked.orderBy(col("target"), col("rn")) else ranked
   }
 }

@@ -48,14 +48,22 @@ object LmScore {
     64 - java.lang.Long.numberOfLeadingZeros(n)
   }
 
-  /** Pruned bigram model. Bigram keys are w1 + "" + w2 (tokens are
-    * whitespace-split, so the separator cannot occur inside one). */
+  /** Pruned bigram model. Bigram keys are w1 + "" + w2 (Java's \\s does NOT
+    * match U+0001, so a raw whitespace-split token COULD contain the
+    * separator and collide with a bigram key — [[lmTokens]] excludes such
+    * tokens from the LM stream; the oracle replays the same exclusion). */
   final case class Model(uni: Map[String, Long], bi: Map[String, Long],
                          vocab: Long) {
     require(vocab >= 1, "empty training vocabulary")
   }
 
   def bigramKey(w1: String, w2: String): String = w1 + "" + w2
+
+  /** The LM token stream: [[tokens]] minus any token containing the bigram
+    * separator U+0001 (a control char, never legitimate text); survivors
+    * close ranks, so adjacency is over the filtered sequence. */
+  def lmTokens(text: String): Array[String] =
+    tokens(text).filter(_.indexOf(1.toChar) < 0)
 
   /** Train on `train`'s text column: exact token/bigram counts (one
     * token-keyed + one bigram-keyed exchange, map-side combined via the
@@ -72,7 +80,7 @@ object LmScore {
         if (t == null) Iterator.empty
         else {
           // per-doc pre-aggregation: one (key, count) per distinct key
-          val ts = tokens(t)
+          val ts = lmTokens(t)
           val m = new java.util.HashMap[String, Long]()
           var i = 0
           while (i < ts.length) {
@@ -103,21 +111,28 @@ object LmScore {
   /** Score every document: (id, n_bigrams, bits, bits_per_bigram_milli,
     * keep). keep = bits * 1000 <= maxBitsPerBigramMilli * n_bigrams (integer
     * cross-multiply — no float). Docs with < 2 tokens score 0 bits over 0
-    * bigrams and are kept. Null text counts as empty. Ordered by id (oracle
-    * determinism; production callers drop the sort). */
+    * bigrams and are kept. Null text counts as empty. A null (or
+    * non-long-castable) id fails loudly — "every document" is the contract,
+    * so a row that cannot be identified must not silently vanish from the
+    * keep/filter output. `sorted` (default true) orders by id — oracle
+    * determinism only; production at scale passes false and skips the
+    * range exchange. */
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
-            maxBitsPerBigramMilli: Long): DataFrame = {
+            maxBitsPerBigramMilli: Long, sorted: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    val scored = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(java.lang.Long, String)]
       .mapPartitions { rows =>
         val m = bc.value
-        rows.flatMap { case (id, t) =>
-          if (id == null) Iterator.empty
+        rows.map { case (id, t) =>
+          if (id == null) throw new IllegalArgumentException(
+            "LmScore.score: null or non-long-castable id — every document " +
+              "must carry a long id (a silent drop would lose rows downstream)")
           else {
-            val ts = if (t == null) Array.empty[String] else tokens(t)
+            val ts = if (t == null) Array.empty[String] else lmTokens(t)
             var bits = 0L
             var n = 0L
             var i = 0
@@ -128,7 +143,7 @@ object LmScore {
               n += 1
               i += 1
             }
-            Iterator.single((id.longValue, n, bits))
+            (id.longValue, n, bits)
           }
         }
       }
@@ -139,6 +154,6 @@ object LmScore {
           .as("bits_per_bigram_milli"),
         (col("bits") * 1000 <= lit(maxBitsPerBigramMilli) * col("n_bigrams"))
           .as("keep"))
-      .orderBy(col("doc_id"))
+    if (sorted) scored.orderBy(col("doc_id")) else scored
   }
 }

@@ -114,14 +114,12 @@ object Cdx {
       override def next(): Capture = { val c = nextCap; advance(); c }
     }
 
-  /** Captures of one archive stream; gzip auto-detected by magic bytes. */
+  /** Captures of one archive stream; gzip auto-detected by magic bytes
+    * (peek + pushback sizing shared with Warc.decoded via Warc.peekGzip —
+    * this path needs the concrete StrictGzipStream for member extents). */
   private[sources] def captures(raw: InputStream): Iterator[Capture] = {
-    val pb = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(raw, 64 * 1024), 64 * 1024 + 2)
-    val b0 = pb.read(); val b1 = pb.read()
-    if (b1 >= 0) pb.unread(b1)
-    if (b0 >= 0) pb.unread(b0)
-    if (b0 == 0x1f && b1 == 0x8b) {
+    val (pb, isGzip) = Warc.peekGzip(raw)
+    if (isGzip) {
       val gz = new Warc.StrictGzipStream(pb)
       Iterator.continually(gz.readMember()).takeWhile(_.isDefined).flatMap {
         member =>

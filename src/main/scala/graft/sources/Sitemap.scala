@@ -80,6 +80,22 @@ object Sitemap {
 
   // --------------------------------------------------------------- tag walk
 
+  /** Index of the '>' that ends the tag opened at `lt`, honoring quoted
+    * attribute values (a '>' inside "…" or '…' does not close the tag);
+    * -1 when the tag never terminates. */
+  private def tagEnd(s: String, lt: Int): Int = {
+    var j = lt + 1
+    var quote: Char = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return j
+      j += 1
+    }
+    -1
+  }
+
   /** Minimal forward scanner: next tag at/after `from`, as (localName
     * lowercased, isClose, isSelfClose, endIndexExclusive); skips comments,
     * processing instructions and DOCTYPE. None when no tag remains. */
@@ -95,7 +111,7 @@ object Sitemap {
         if (e < 0) return None
         i = s.indexOf('<', e + 1)
       } else {
-        val e = s.indexOf('>', i + 1)
+        val e = tagEnd(s, i)
         if (e < 0) return None
         val isClose = s.charAt(i + 1) == '/'
         val selfClose = s.charAt(e - 1) == '/'
@@ -245,10 +261,13 @@ object Sitemap {
     pages.select(col(urlCol).cast("string"), col(bodyCol).cast("string"))
       .as[(String, String)]
       .flatMap { case (smUrl, body) =>
-        parse(body).map(e => (smUrl, e.kind,
+        // null body (failed fetch in a fetch-join output) contributes nothing
+        if (body == null) Iterator.empty
+        else parse(body).iterator.map(e => (smUrl, e.kind,
           // relative locs resolve against the sitemap's own URL (protocol
           // requires absolute, but real-world feeds violate it)
-          if (e.url.contains("://")) e.url else UrlOps.resolve(smUrl, e.url),
+          if (e.url.contains("://") || smUrl == null) e.url
+          else UrlOps.resolve(smUrl, e.url),
           e.lastmodTs.orNull, e.changefreq.orNull,
           e.priorityMilli.map(java.lang.Long.valueOf).orNull))
       }

@@ -64,19 +64,27 @@ object Warc {
     out
   }
 
+  /** Index just past the CRLFCRLF header terminator, or -1 when the block
+    * has no terminated header section. Shared by [[httpPayload]] and
+    * [[httpMime]] so "where do the headers end" has exactly one definition. */
+  private def headerEnd(block: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+          block(i + 2) == '\r' && block(i + 3) == '\n') return i + 4
+      i += 1
+    }
+    -1
+  }
+
   /** Split an HTTP/1.x message into (status, body). A block that does not
     * start with "HTTP/" is taken whole with status 200 (resource-style). */
   private[sources] def httpPayload(block: Array[Byte]): (Int, Array[Byte]) = {
     if (block.length < 5 ||
         !new String(block, 0, 5, US_ASCII).equals("HTTP/"))
       return (200, block)
-    var i = 0
-    var bodyAt = block.length
-    while (i + 3 < block.length && bodyAt == block.length) {
-      if (block(i) == '\r' && block(i + 1) == '\n' &&
-          block(i + 2) == '\r' && block(i + 3) == '\n') bodyAt = i + 4
-      i += 1
-    }
+    val he = headerEnd(block)
+    val bodyAt = if (he < 0) block.length else he // truncated headers: no body
     val statusLine = new String(block, 0, math.min(64, block.length), US_ASCII)
       .takeWhile(c => c != '\r' && c != '\n')
     // \s+ tolerates the multi-space status lines sloppy servers emit; an
@@ -92,20 +100,20 @@ object Warc {
   private[sources] def httpMime(block: Array[Byte]): Option[String] = {
     if (block.length < 5 ||
         !new String(block, 0, 5, US_ASCII).equals("HTTP/")) return None
-    var i = 0
-    var bodyAt = block.length
-    while (i + 3 < block.length && bodyAt == block.length) {
-      if (block(i) == '\r' && block(i + 1) == '\n' &&
-          block(i + 2) == '\r' && block(i + 3) == '\n') bodyAt = i + 4
-      i += 1
-    }
-    new String(block, 0, bodyAt, US_ASCII).split("\r\n").iterator
+    // no terminated header section -> unknown, NEVER scan payload bytes for
+    // header-shaped text (and never decode a multi-MB body to ASCII)
+    val he = headerEnd(block)
+    if (he < 0) return None
+    new String(block, 0, he, US_ASCII).split("\r\n").iterator
       .map(_.split(":", 2))
       .collectFirst {
         case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
           v.split(";")(0).trim.toLowerCase
       }.filter(_.nonEmpty)
   }
+
+  /** Inflater read-ahead buffer size; [[peekGzip]] sizes pushback from it. */
+  private[sources] val gzipInflaterBuf = 64 * 1024
 
   /** Decompress concatenated gzip members STRICTLY. `GZIPInputStream`
     * cannot be used here: its `readTrailer` swallows the IOException from a
@@ -119,7 +127,7 @@ object Warc {
       extends InputStream {
     private val inf = new java.util.zip.Inflater(true)
     private val crc = new java.util.zip.CRC32
-    private val inBuf = new Array[Byte](64 * 1024)
+    private val inBuf = new Array[Byte](gzipInflaterBuf)
     private var fillLen = 0
     private var inMember = false
     private var eof = false
@@ -276,18 +284,28 @@ object Warc {
     } else None
   }
 
-  /** Magic-peek wrapper: the stream itself for plain WARC, the strict
-    * member-framing decompressor for .warc.gz. */
-  private[sources] def decoded(raw: InputStream): InputStream = {
-    // pushback capacity = inflater read-ahead buffer + magic peek: a
-    // member's unconsumed tail bytes must always fit back in
+  /** Peek the two-byte gzip magic through a PushbackInputStream sized for
+    * [[StrictGzipStream]]'s read-ahead (inflater buffer + the peek itself —
+    * a member's unconsumed tail bytes must always fit back in). The ONE
+    * definition of the capacity/peek/unread-order invariant, shared by
+    * [[decoded]] and Cdx.captures: resizing [[gzipInflaterBuf]] can never
+    * orphan a copied capacity constant. */
+  private[sources] def peekGzip(raw: InputStream)
+      : (java.io.PushbackInputStream, Boolean) = {
     val pb = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(raw, 64 * 1024), 64 * 1024 + 2)
+      new java.io.BufferedInputStream(raw, gzipInflaterBuf),
+      gzipInflaterBuf + 2)
     val b0 = pb.read(); val b1 = pb.read()
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)
-    if (b0 == 0x1f && b1 == 0x8b) new StrictGzipStream(pb)
-    else pb
+    (pb, b0 == 0x1f && b1 == 0x8b)
+  }
+
+  /** Magic-peek wrapper: the stream itself for plain WARC, the strict
+    * member-framing decompressor for .warc.gz. */
+  private[sources] def decoded(raw: InputStream): InputStream = {
+    val (pb, isGzip) = peekGzip(raw)
+    if (isGzip) new StrictGzipStream(pb) else pb
   }
 
   /** Iterate response/resource records of one (possibly multi-member-gzip)

@@ -83,4 +83,28 @@ class LmScoreSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"scoring must not hash-shuffle:\n$plan")
   }
+
+  test("review pins: U+0001-bearing tokens are excluded from the LM stream " +
+      "(no bigram-key collision); a null id fails loudly") {
+    // "x\u0001y" would collide with bigramKey("x","y") under raw whitespace
+    // tokenization — it must vanish from counts and key space entirely
+    val tr = Seq("a b", "x\u0001y a b").toDF("text")
+    val m = LmScore.train(tr, "text", maxUnigrams = 10, maxBigrams = 10)
+    assert(m.vocab == 2, "vocab is {a, b} only")
+    assert(m.uni == Map("a" -> 2L, "b" -> 2L))
+    assert(m.bi == Map(LmScore.bigramKey("a", "b") -> 2L))
+    assert(!m.uni.keys.exists(_.exists(_ == 1.toChar)))
+    // scoring skips the excluded token too: "a x\u0001y b" scores as "a b"
+    val docs = Seq((1L, "a x\u0001y b")).toDF("doc_id", "text")
+    val row = LmScore.score(docs, "doc_id", "text", m, 5000L).collect()(0)
+    assert(row.getLong(1) == 1L, "one bigram: (a, b)")
+    // null id: loud failure, not a silent drop
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "a b"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      LmScore.score(bad, "doc_id", "text", m, 5000L).collect()
+    }
+    assert(ex.toString.contains("id") || Option(ex.getCause).exists(
+      _.getMessage.contains("id")))
+  }
 }

@@ -152,4 +152,18 @@ class SitemapSpec extends AnyFunSuite {
     assert(rules.groups.size == 2)
     assert(!rules.isAllowed("anybot", "/private/x"))
   }
+
+  test("review pins: null body contributes nothing; '>' inside a quoted " +
+      "attribute does not end the tag") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://n.test/sm.xml", null.asInstanceOf[String]), // failed fetch
+      ("https://q.test/sm.xml",
+        "<urlset><url data-note=\"a>b\"><loc>https://q.test/p</loc></url>" +
+          "<url note='x>y'><loc>/rel</loc></url></urlset>"))
+      .toDF("u", "b")
+    val rows = Sitemap.entries(pages, "u", "b")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(rows == Set("https://q.test/p", "https://q.test/rel"))
+  }
 }

@@ -187,4 +187,17 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.count(_._1.startsWith("https://gzfile.test/")) == 2)
     assert(rows.count(_._1.startsWith("https://h")) == 3)
   }
+
+  test("review pin: httpMime with unterminated headers is None — payload " +
+      "bytes are never scanned for header-shaped text") {
+    val truncated = ("HTTP/1.1 200 OK\r\nx-note: truncated\r\n" +
+      "content-type: application/pdf").getBytes("US-ASCII") // no CRLFCRLF
+    assert(Warc.httpMime(truncated).isEmpty)
+    val ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+      "\r\n\r\ncontent-type: application/pdf in the body").getBytes("US-ASCII")
+    assert(Warc.httpMime(ok).contains("text/html"))
+    // httpPayload with truncated headers: empty body, status still parsed
+    val (st, body) = Warc.httpPayload(truncated)
+    assert(st == 200 && body.isEmpty)
+  }
 }
