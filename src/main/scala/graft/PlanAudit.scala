@@ -45,6 +45,10 @@ object PlanAudit {
       "q50_pack_shards"      -> "global prefix sum with NO Window operator anywhere: the checkpointed range partitioning feeds two kernel passes and a broadcast offset array — the naive orderBy window would put the whole corpus on one task",
       "q51_line_dedup"       -> "the rewrite is ONE object-map kernel pass over the doc scan with the broadcast frequent-line set — no posexplode, no reassembly exchange in the executed plan (the frequency agg ran as its own bounded job, shuffling only 8-byte line hashes after map-side partial combine)",
       "q52_domain_filter"    -> "stats partial-combine map-side into the cached reputation frame; the gate join reads docs ONCE and builds on the small stats side (broadcast under AQE)",
+      "q56_inverted_index"   -> "ONE token-keyed exchange of per-(doc,token) partials; the bottom-K postings Aggregator runs as objectHashAgg with partial merge — no collect_list, buffers bounded at cap regardless of stopword skew",
+      "q57_anchor_topk"      -> "link extraction + term counting in one kernel scan; only combined (target, term, cnt) partials reach the single target-keyed exchange, which serves BOTH the re-aggregate and the top-k window (no second hash exchange)",
+      "q58_lm_fluency"       -> "scoring is a kernel pass with the pruned model broadcast — no join, no hash exchange anywhere before the output sort; training exchanges only (key, count) partials",
+      "q61_sitemap_entries"  -> "one kernel scan over fetched bodies — zero exchange before the ordered output; index members fan out as rows, never recursion inside a task",
       "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate")
 
     val sb = new StringBuilder
