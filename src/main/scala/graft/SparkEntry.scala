@@ -834,6 +834,25 @@ object SparkEntry {
         .orderBy("sitemap_url", "url")
     }),
 
+    // exact repeated-passage dedup (Lee et al. ExactSubstr, Spark shape):
+    // EXACT-RECOMPUTE oracle via the injectable window key — the query
+    // passes rawKey (the joined window string), so DuckDB replays
+    // tokenize -> slide -> group -> min-rank verbatim; production defaults
+    // to xxh64Key (8-byte shuffle rows), equivalence pinned in
+    // PassageDedupSpec. A shared 13-token tail is planted on every 5th doc
+    // (stride 1, window 8) so cross-doc duplicated spans exist by
+    // construction; natural repeats count identically on both sides.
+    "q62_passage_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" all rights reserved by the original " +
+            "author of this work and contributors")))
+          .otherwise(col("text")).as("text"))
+      graft.pipeline.PassageDedup.verdicts(corpus, "doc_id", "text",
+        window = 8, stride = 1, keyOf = graft.pipeline.PassageDedup.rawKey)
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2403,6 +2422,34 @@ object SparkEntry {
         |)
         |SELECT * FROM (SELECT * FROM idx UNION ALL SELECT * FROM txt UNION ALL SELECT * FROM xmlu)
         |ORDER BY sitemap_url, url""".stripMargin,
+
+    // exact replay of q62 with the injected rawKey: tokenize (the q58/q13
+    // lower + \s+ contract), slide window-8 stride-1 fingerprints (aligned
+    // unnests keep pos and key zipped), rank = doc_id * 2^21 + pos, then
+    // group/HAVING >= 2 and keep = rank == min(rank)
+    "q62_passage_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' all rights reserved by the original author of this work and contributors'
+        |         ELSE text END AS text
+        |  FROM documents
+        |), doctok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM corpus
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 6), p -> CAST(p - 1 AS BIGINT))) AS pos,
+        |    unnest(list_transform(range(1, len(toks) - 6), p -> array_to_string(list_slice(toks, p, p + 7), chr(31)))) AS key
+        |  FROM doctok WHERE len(toks) >= 8
+        |), ranked AS (
+        |  SELECT doc_id, pos, key, doc_id * 2097152 + pos AS rank FROM occ
+        |), stats AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS copies, min(rank) AS min_rank
+        |  FROM ranked GROUP BY key HAVING count(*) >= 2
+        |)
+        |SELECT r.doc_id, r.pos, s.copies, r.rank = s.min_rank AS keep
+        |FROM ranked r JOIN stats s ON r.key = s.key
+        |ORDER BY r.doc_id, r.pos""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
