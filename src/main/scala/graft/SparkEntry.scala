@@ -853,6 +853,32 @@ object SparkEntry {
         window = 8, stride = 1, keyOf = graft.pipeline.PassageDedup.rawKey)
     }),
 
+    // crawler-trap template detection (frontier hygiene): EXACT-RECOMPUTE
+    // oracle — frontier URLs are constructed closed-form in doc_id (one
+    // exploding calendar family on trap.example.test, six diverse families
+    // spread over h0-h7, with planted query strings, fragments, and a
+    // hex-id path), and DuckDB replays the SAME host/template regexes plus
+    // the integer share math. The trap host's single template holds 100% of
+    // its URLs; diverse hosts sit near 1/6 shares, far below the 300-milli
+    // bar — the verdict discriminates by construction.
+    "q63_trap_templates" -> ((s, dir) => {
+      val d = col("doc_id")
+      val urls = t(s, dir, "documents").select(
+        when(d % 4 === 1,
+          concat(lit("https://trap.example.test/cal/"), lit(2000) + d % 30,
+            lit("/"), d % 12))
+          .otherwise(concat(lit("https://h"), d % 8, lit(".example.test"),
+            when(d % 6 === 0, concat(lit("/item/"), d))
+              .when(d % 6 === 1, concat(lit("/about?page="), d))
+              .when(d % 6 === 2, concat(lit("/s/deadbeef"), d))
+              .when(d % 6 === 3, lit("/tag/news"))
+              .when(d % 6 === 4, concat(lit("/p"), d % 7, lit("/view")))
+              .otherwise(concat(lit("/faq#sec"), d))))
+          .as("url"))
+      graft.frontier.Traps.detect(urls, "url",
+        minUrls = 10, minShareMilli = 300)
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2450,6 +2476,42 @@ object SparkEntry {
         |SELECT r.doc_id, r.pos, s.copies, r.rank = s.min_rank AS keep
         |FROM ranked r JOIN stats s ON r.key = s.key
         |ORDER BY r.doc_id, r.pos""".stripMargin,
+
+    // exact replay of q63: the same closed-form URL construction, the same
+    // host/template regexes (hex-run collapse before digit-run), the same
+    // integer milli-share and >= cross-multiply verdict
+    "q63_trap_templates" ->
+      """WITH urls AS (
+        |  SELECT CASE WHEN doc_id % 4 = 1
+        |    THEN 'https://trap.example.test/cal/' || (2000 + doc_id % 30) || '/' || (doc_id % 12)
+        |    ELSE 'https://h' || (doc_id % 8) || '.example.test' ||
+        |      CASE doc_id % 6
+        |        WHEN 0 THEN '/item/' || doc_id
+        |        WHEN 1 THEN '/about?page=' || doc_id
+        |        WHEN 2 THEN '/s/deadbeef' || doc_id
+        |        WHEN 3 THEN '/tag/news'
+        |        WHEN 4 THEN '/p' || (doc_id % 7) || '/view'
+        |        ELSE '/faq#sec' || doc_id END
+        |    END AS url
+        |  FROM documents
+        |), parsed AS (
+        |  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+        |      '[0-9a-f]{8,}', '~x', 'g'), '[0-9]+', '~d', 'g') AS template
+        |  FROM urls
+        |), agg AS (
+        |  SELECT host, template, CAST(count(*) AS BIGINT) AS urls
+        |  FROM parsed GROUP BY host, template
+        |), tot AS (
+        |  SELECT host, template, urls,
+        |    CAST(sum(urls) OVER (PARTITION BY host) AS BIGINT) AS host_urls
+        |  FROM agg
+        |)
+        |SELECT host, template, urls, host_urls,
+        |  urls * 1000 // host_urls AS share_milli,
+        |  urls >= 10 AND urls * 1000 >= 300 * host_urls AS trap
+        |FROM tot ORDER BY host, template""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
