@@ -49,6 +49,8 @@ object PlanAudit {
       "q57_anchor_topk"      -> "link extraction + term counting in one kernel scan; only combined (target, term, cnt) partials reach the single target-keyed exchange, which serves BOTH the re-aggregate and the top-k window (no second hash exchange)",
       "q58_lm_fluency"       -> "scoring is a kernel pass with the pruned model broadcast — no join, no hash exchange anywhere before the output sort; training exchanges only (key, count) partials",
       "q61_sitemap_entries"  -> "one kernel scan over fetched bodies — zero exchange before the ordered output; index members fan out as rows, never recursion inside a task",
+      "q62_passage_dedup"    -> "one corpus-text scan into the checkpointed fingerprint frame; stats = partial-combinable count/min HashAggregate (NO per-key Window); verdict join over narrow checkpointed rows only",
+      "q63_trap_templates"   -> "host/template as a codegen regexp projection; ONE host-keyed hash exchange serves both the (host, template) aggregate and the host-total window — only the ordered output adds a range exchange",
       "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate")
 
     val sb = new StringBuilder
