@@ -140,6 +140,13 @@ final class CrawlEngine(
 
   private var progress: Map[String, JobProgress] = Map.empty
   private var seqOffsets: Map[String, Long] = Map.empty
+  /** Trap-gate state: [[graft.frontier.Traps.familyKey]]s whose enqueued
+    * count crossed the owning job's `trapMaxUrls`. Derived from COMMITTED
+    * seen sources (the flagged frontier history + compaction buckets), so it
+    * needs no checkpoint state of its own and is resume-correct and
+    * parallelism/retry-deterministic by construction. Empty unless a job
+    * opted in. Test-visible for the gate specs. */
+  private[engine] var trapCrossed: Set[String] = Set.empty
   private var bloom: SeenBloom = _
   private var configs: Map[String, CrawlConfig] = Map.empty
   /** Sidecar-bloom cache nonce (see [[Checkpoint.newNonce]]); assigned by
@@ -284,10 +291,46 @@ final class CrawlEngine(
   private def activeJobs: Seq[CrawlConfig] =
     configs.values.toSeq.filter(c => !progress(c.jobId).finalized).sortBy(_.jobId)
 
+  /** Rebuild [[trapCrossed]] from the committed seen sources of `gen` —
+    * one aggregation over the same two narrow columns the J2 anti-join
+    * reads, run only when an active job opted into the trap gate and the
+    * refresh cadence is due (always on `force`, e.g. at resume, where the
+    * committed history may already contain crossed families). */
+  private def refreshTrapSet(gen: Int, force: Boolean = false): Unit = {
+    val caps = activeJobs.collect {
+      case c if c.trapMaxUrls > 0 => c.jobId -> c.trapMaxUrls.toLong
+    }.toMap
+    if (caps.isEmpty) return
+    if (!force && gen % math.max(1, settings.trapRefreshEvery) != 0) return
+    import graft.frontier.Traps
+    val (buckets, tails) = ckpt.seenSources(gen)
+    val parts =
+      buckets.map(b => spark.read.parquet(ckpt.seenBucketPath(b))
+        .select($"jobId", $"urlNorm")) ++
+      (if (tails.isEmpty) Nil
+       else Seq(spark.read.schema(frontierSchema).parquet(tails: _*)
+         .where($"__fresh").select($"jobId", $"urlNorm")))
+    val seenDf = parts.reduceOption(_ unionByName _).getOrElse(return)
+    val minCap = caps.values.min
+    trapCrossed = seenDf
+      .filter($"jobId".isin(caps.keys.toSeq: _*))
+      .select($"jobId", Traps.hostCol($"urlNorm").as("h"),
+        Traps.templateCol($"urlNorm").as("t"))
+      .groupBy($"jobId", $"h", $"t").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minCap) // crossed rows only ever reach the driver
+      .collect()
+      .filter(r => r.getLong(3) >= caps(r.getString(0)))
+      .map(r => r.getString(0) + 31.toChar + r.getString(1) + 31.toChar + r.getString(2))
+      .toSet
+  }
+
   private def loop(): Unit = {
     var gen = generation
     applyCancellations()
     applyExpiry()
+    // resume may land mid-cadence with crossed families already committed —
+    // force one refresh off the last committed state before scheduling
+    if (gen > 0) refreshTrapSet(gen - 1, force = true)
     while (activeJobs.nonEmpty && gen < settings.maxGenerations) {
       // NOTE: each generation re-roots from parquet deliberately — carrying
       // a persisted Dataset across supersteps embeds the previous plan into
@@ -296,6 +339,7 @@ final class CrawlEngine(
       // the just-written frontier was tried and reverted: recache-on-write
       // hits a Spark internal NPE, and the parquet re-read it saves is tens
       // of ms against the OS page cache.)
+      refreshTrapSet(gen) // cadence-gated; no-op unless a job opted in
       val frontier = spark.read.schema(frontierSchema).parquet(ckpt.frontierPath(gen))
         .select("jobId", "url", "urlNorm", "host", "depth", "priority", "parentUrl", "attempt")
         .as[FrontierEntry]
@@ -750,6 +794,9 @@ final class CrawlEngine(
     // ------------------------------------------------- link expansion P2-P5
     val enqueuedSoFar = progress.map { case (j, p) => j -> p.enqueued }
     val enqB = spark.sparkContext.broadcast(enqueuedSoFar)
+    // crossed trap families (empty unless a job opted in) — gate candidates
+    // BEFORE dedup/seen/cap so a trapped family costs no downstream work
+    val trapBv = spark.sparkContext.broadcast(trapCrossed)
     val robotsBv = robotsB
     val candRaw = res
       .filter($"success" && $"terminal")
@@ -760,6 +807,7 @@ final class CrawlEngine(
         val cfgs = cfgBv.value
         val robots = robotsBv.value
         val enqueued = enqB.value
+        val traps = trapBv.value
         val pats = new scala.collection.mutable.HashMap[String, (Seq[java.util.regex.Pattern], Seq[java.util.regex.Pattern])]()
         it.flatMap { c =>
           val cfg = cfgs(c.jobId)
@@ -782,8 +830,16 @@ final class CrawlEngine(
               val robotsOk = !cfg.respectRobots ||
                 robots.get(h).forall(r => Robots.allowedUrl(r, cfg.userAgent, c.childUrl))
               if (!robotsOk) None
-              else Some(FrontierEntry(c.jobId, c.childUrl, UrlOps.normalize(c.childUrl), h,
-                nd, c.seq * 4096L + math.min(c.idx, 4095L), c.parentUrl, 0))
+              else {
+                val norm = UrlOps.normalize(c.childUrl)
+                // trap gate (opt-in): the family key is derived from the
+                // NORMALIZED url on both this side and the refresh side
+                if (cfg.trapMaxUrls > 0 &&
+                    traps.contains(graft.frontier.Traps.familyKey(c.jobId, norm)))
+                  None
+                else Some(FrontierEntry(c.jobId, c.childUrl, norm, h,
+                  nd, c.seq * 4096L + math.min(c.idx, 4095L), c.parentUrl, 0))
+              }
             }
           }
         }
@@ -1165,7 +1221,15 @@ object CrawlEngine {
       // extraction parallelism — 4096 left a 2k-page bench corpus in ONE
       // cached partition and serialized the kernel (measured 0.5s/gen -> 0.15)
       corpusRowsPerPartition: Long = 256L,
-      broadcastBatchMax: Long = 65536L)
+      broadcastBatchMax: Long = 65536L,
+      // trap-gate refresh cadence in generations (only jobs with
+      // trapMaxUrls > 0 pay it). Each refresh re-aggregates the seen
+      // sources — O(seen) over two narrow columns, the same envelope the
+      // J2 anti-join reads every generation — so a 10^10 deployment sets
+      // this to compactEvery to amortize; the known upgrade is a
+      // per-bucket (host, template, n) count sidecar written during
+      // compaction, making refresh O(distinct templates).
+      trapRefreshEvery: Int = 1)
 
   final case class SeqEntry(jobId: String, url: String, urlNorm: String, host: String,
       depth: Int, priority: Long, parentUrl: String, attempt: Int, seq: Long)

@@ -72,7 +72,16 @@ final case class CrawlConfig(
     filterAdDomains: Boolean = false,
     // job creation time; 0 = no expiry. Jobs expire jobTtlMs after creation
     // (PostgreSQL.ts:79 default NOW()+3h; swept by Worker.ts:238-329)
-    createdAtMs: Long = 0L) {         // P7 (EngineConfigurator.ts:166-190)
+    createdAtMs: Long = 0L,           // P7 (EngineConfigurator.ts:166-190)
+    // frontier-hygiene trap gate (graft.frontier.Traps semantics, engine-
+    // integrated): once a (host, path-template) family of this job has
+    // trapMaxUrls URLs enqueued, further candidates from that family are
+    // dropped at expansion. 0 = disabled — the default, and the reference
+    // has no such gate (additive surface), so crawl traces stay reference-
+    // exact unless a job opts in. The gate reads COMMITTED state, so it
+    // lags by up to Settings.trapRefreshEvery generations (BSP-inherent);
+    // overshoot is bounded by the lag's enqueue volume, never unbounded.
+    trapMaxUrls: Int = 0) {
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */

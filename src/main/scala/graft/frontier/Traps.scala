@@ -33,6 +33,29 @@ import org.apache.spark.sql.functions._
  */
 object Traps {
 
+  private val HostRe = java.util.regex.Pattern.compile("^[a-z]+://([^/?#]+)")
+  private val PathRe = java.util.regex.Pattern.compile("^[a-z]+://[^/?#]+([^?#]*)")
+  private val HexRun = java.util.regex.Pattern.compile("[0-9a-f]{8,}")
+  private val DigitRun = java.util.regex.Pattern.compile("[0-9]+")
+
+  /** Kernel-side [[hostCol]] (same regex; spec-pinned equal) for row-by-row
+    * gating inside mapPartitions passes — the crawl engine's trap gate. */
+  def host(url: String): String = {
+    val m = HostRe.matcher(url)
+    if (m.find()) m.group(1) else ""
+  }
+
+  /** Kernel-side [[templateCol]] (same regexes, same order; spec-pinned). */
+  def template(url: String): String = {
+    val m = PathRe.matcher(url)
+    val path = if (m.find()) m.group(1) else ""
+    DigitRun.matcher(HexRun.matcher(path).replaceAll("~x")).replaceAll("~d")
+  }
+
+  /** Trap-gate family key of a normalized URL within a job. */
+  def familyKey(jobId: String, normUrl: String): String =
+    jobId + 31.toChar + host(normUrl) + 31.toChar + template(normUrl)
+
   /** Host of an absolute URL (scheme-mandatory — frontier URLs are already
     * UrlOps-normalized upstream). */
   def hostCol(url: Column): Column =

@@ -56,6 +56,17 @@ class TrapsSpec extends AnyFunSuite {
       ("ok.test", false), ("trap.test", true)))
   }
 
+  test("kernel-side host/template (the engine trap gate's path) equal the " +
+      "Column versions byte-for-byte") {
+    val urls = Seq(
+      "https://a.test/cal/2024/11", "https://b.test:8080/s/deadbeef42/x?q=1#f",
+      "https://c.test", "http://d.test/abc12de/", "https://e.test/p7/view?s=1")
+    val viaCol = urls.toDF("u")
+      .select(Traps.hostCol(col("u")), Traps.templateCol(col("u")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaCol == urls.map(u => (Traps.host(u), Traps.template(u))))
+  }
+
   test("verdicts are invariant to input partitioning") {
     val urls = (0 until 200).map(i =>
       s"https://h${i % 5}.test/${if (i % 3 == 0) s"cal/$i" else s"page$i"}")
