@@ -239,6 +239,11 @@ final class Checkpoint(workDir: String) {
   import Checkpoint.SeenBucket
 
   def seenBucketPath(b: SeenBucket): String = s"$workDir/seen/${b.dirName}"
+  /** Trap-count sidecar of a bucket: pre-aggregated (jobId, host, template,
+    * n) parquet INSIDE the bucket dir — the `_` prefix hides it from the
+    * bucket's own parquet listing, and it is pruned/merged with its bucket. */
+  def trapCountsPath(b: SeenBucket): String =
+    s"$workDir/seen/${b.dirName}/_trapcounts"
   private def bucketMarker(b: SeenBucket): Path =
     Paths.get(s"$workDir/seen/${b.dirName}/_COMPACT_OK")
 

@@ -235,7 +235,8 @@ final class CrawlEngine(
   var sidecarProbeSteps: Int = 0
 
   /** Write one seen bucket (2-column parquet), build its bloom sidecars in
-    * sidecar mode, then validity-mark it. Marker last => crash-invisible. */
+    * sidecar mode and its trap-count sidecar when any job runs the trap
+    * gate, then validity-mark it. Marker last => crash-invisible. */
   private def writeSeenBucket(b: Checkpoint.SeenBucket, src: DataFrame): Unit = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     src.repartition(nPart, $"jobId", $"urlNorm")
@@ -245,6 +246,23 @@ final class CrawlEngine(
     if (settings.seenFilter == "sidecar") {
       graft.frontier.SidecarBlooms.buildForBucket(spark, ckpt.seenBucketPath(b),
         settings.sidecarShards, settings.bloomFpp, rows, seenNonce, hadoopConfB)
+    }
+    // trap-count sidecar (the q63 gate at bucket scale): pre-aggregated
+    // (jobId, host, template, n) rows live INSIDE the bucket dir (the `_`
+    // prefix hides them from the bucket's own parquet listing), so they are
+    // pruned/merged with their bucket and refreshTrapSet never re-derives
+    // templates from a bucketed key again — refresh cost O(templates + tail),
+    // not O(seen). Written before the marker: a valid bucket written while
+    // the gate is on always carries counts; gate-off buckets fall back to
+    // an on-the-fly derive at refresh.
+    if (configs.values.exists(_.trapMaxUrls > 0)) {
+      import graft.frontier.Traps
+      spark.read.parquet(ckpt.seenBucketPath(b))
+        .select($"jobId", Traps.hostCol($"urlNorm").as("h"),
+          Traps.templateCol($"urlNorm").as("t"))
+        .groupBy($"jobId", $"h", $"t").agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ckpt.trapCountsPath(b))
     }
     ckpt.markBucket(b)
   }
@@ -291,11 +309,16 @@ final class CrawlEngine(
   private def activeJobs: Seq[CrawlConfig] =
     configs.values.toSeq.filter(c => !progress(c.jobId).finalized).sortBy(_.jobId)
 
-  /** Rebuild [[trapCrossed]] from the committed seen sources of `gen` —
-    * one aggregation over the same two narrow columns the J2 anti-join
-    * reads, run only when an active job opted into the trap gate and the
-    * refresh cadence is due (always on `force`, e.g. at resume, where the
-    * committed history may already contain crossed families). */
+  /** Rebuild [[trapCrossed]] from the committed seen sources of `gen`, run
+    * only when an active job opted into the trap gate and the refresh
+    * cadence is due (always on `force`, e.g. at resume, where the committed
+    * history may already contain crossed families). Cost shape: bucketed
+    * generations contribute their PRE-AGGREGATED count sidecars (O(distinct
+    * templates) rows, written at compaction); only the frontier TAIL —
+    * bounded by the compaction cadence — is template-derived here, so a
+    * refresh is O(templates + tail), never O(total seen). A bucket written
+    * while the gate was off lacks the sidecar and is derived on the fly
+    * (once — its next merge writes one). */
   private def refreshTrapSet(gen: Int, force: Boolean = false): Unit = {
     val caps = activeJobs.collect {
       case c if c.trapMaxUrls > 0 => c.jobId -> c.trapMaxUrls.toLong
@@ -303,20 +326,27 @@ final class CrawlEngine(
     if (caps.isEmpty) return
     if (!force && gen % math.max(1, settings.trapRefreshEvery) != 0) return
     import graft.frontier.Traps
-    val (buckets, tails) = ckpt.seenSources(gen)
-    val parts =
-      buckets.map(b => spark.read.parquet(ckpt.seenBucketPath(b))
-        .select($"jobId", $"urlNorm")) ++
-      (if (tails.isEmpty) Nil
-       else Seq(spark.read.schema(frontierSchema).parquet(tails: _*)
-         .where($"__fresh").select($"jobId", $"urlNorm")))
-    val seenDf = parts.reduceOption(_ unionByName _).getOrElse(return)
-    val minCap = caps.values.min
-    trapCrossed = seenDf
-      .filter($"jobId".isin(caps.keys.toSeq: _*))
+    def derive(df: DataFrame): DataFrame = df
       .select($"jobId", Traps.hostCol($"urlNorm").as("h"),
         Traps.templateCol($"urlNorm").as("t"))
       .groupBy($"jobId", $"h", $"t").agg(count(lit(1)).as("n"))
+    val (buckets, tails) = ckpt.seenSources(gen)
+    val parts =
+      buckets.map { b =>
+        val counts = ckpt.trapCountsPath(b)
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(counts)))
+          spark.read.parquet(counts)
+        else derive(spark.read.parquet(ckpt.seenBucketPath(b))
+          .select($"jobId", $"urlNorm"))
+      } ++
+      (if (tails.isEmpty) Nil
+       else Seq(derive(spark.read.schema(frontierSchema).parquet(tails: _*)
+         .where($"__fresh").select($"jobId", $"urlNorm"))))
+    val partials = parts.reduceOption(_ unionByName _).getOrElse(return)
+    val minCap = caps.values.min
+    trapCrossed = partials
+      .filter($"jobId".isin(caps.keys.toSeq: _*))
+      .groupBy($"jobId", $"h", $"t").agg(sum($"n").as("n"))
       .filter($"n" >= minCap) // crossed rows only ever reach the driver
       .collect()
       .filter(r => r.getLong(3) >= caps(r.getString(0)))
@@ -1223,12 +1253,11 @@ object CrawlEngine {
       corpusRowsPerPartition: Long = 256L,
       broadcastBatchMax: Long = 65536L,
       // trap-gate refresh cadence in generations (only jobs with
-      // trapMaxUrls > 0 pay it). Each refresh re-aggregates the seen
-      // sources — O(seen) over two narrow columns, the same envelope the
-      // J2 anti-join reads every generation — so a 10^10 deployment sets
-      // this to compactEvery to amortize; the known upgrade is a
-      // per-bucket (host, template, n) count sidecar written during
-      // compaction, making refresh O(distinct templates).
+      // trapMaxUrls > 0 pay it). A refresh reads the per-bucket trap-count
+      // sidecars (pre-aggregated at compaction — O(distinct templates))
+      // and template-derives only the frontier tail, so its cost is
+      // O(templates + tail), never O(total seen); 1 is fine even at
+      // 10^10-frontier scale, raise it only to shave driver actions.
       trapRefreshEvery: Int = 1)
 
   final case class SeqEntry(jobId: String, url: String, urlNorm: String, host: String,

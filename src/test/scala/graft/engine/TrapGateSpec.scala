@@ -100,6 +100,25 @@ class TrapGateSpec extends AnyFunSuite {
     assert((pf.enqueued, pf.done, pf.succeeded) == ((pr.enqueued, pr.done, pr.succeeded)))
   }
 
+  test("trap-count sidecars ride compaction buckets, and refresh over " +
+      "buckets + tail yields the identical capped state") {
+    import scala.jdk.CollectionConverters._
+    val cfg = CrawlConfig("jt", Seq("https://t.test/start"),
+      strategy = "same-hostname", limit = 1000, maxDepth = 50, trapMaxUrls = 5)
+    val dir = Files.createTempDirectory("trapb").toString
+    val e = new CrawlEngine(spark, pagesDf, dir, Map.empty,
+      settings.copy(compactEvery = 2)) // force buckets to form mid-crawl
+    e.run(Seq(cfg))
+    assert(calCount(e) == 5L, "bucketed counts + tail derive = same verdicts")
+    assert(e.trapCrossed.contains(calKey))
+    val seenDir = java.nio.file.Paths.get(dir, "seen")
+    val buckets = Files.list(seenDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
+    assert(buckets.nonEmpty, "compaction produced buckets in this run")
+    assert(buckets.forall(b => Files.exists(b.resolve("_trapcounts"))),
+      "every bucket written while the gate is on carries its count sidecar")
+  }
+
   test("a sparser refresh cadence bounds overshoot by the lag's volume, " +
       "never unboundedly") {
     val cfg = CrawlConfig("jw", Seq("https://t.test/start"),
