@@ -839,9 +839,10 @@ object SparkEntry {
     // passes rawKey (the joined window string), so DuckDB replays
     // tokenize -> slide -> group -> min-rank verbatim; production defaults
     // to xxh64Key (8-byte shuffle rows), equivalence pinned in
-    // PassageDedupSpec. A shared 13-token tail is planted on every 5th doc
-    // (stride 1, window 8) so cross-doc duplicated spans exist by
-    // construction; natural repeats count identically on both sides.
+    // PassageDedupSpec. A shared 12-token tail is planted on every 5th doc
+    // (stride 1, window 8 -> 12-8+1 = 5 guaranteed shared windows per doc
+    // pair) so cross-doc duplicated spans exist by construction; natural
+    // repeats count identically on both sides.
     "q62_passage_dedup" -> ((s, dir) => {
       import s.implicits._
       val corpus = t(s, dir, "documents").select(col("doc_id"),
@@ -856,18 +857,20 @@ object SparkEntry {
     // crawler-trap template detection (frontier hygiene): EXACT-RECOMPUTE
     // oracle — frontier URLs are constructed closed-form in doc_id (one
     // exploding calendar family on trap.example.test, six diverse families
-    // spread over h0-h7, with planted query strings, fragments, and a
+    // spread over h0-h6, with planted query strings, fragments, and a
     // hex-id path), and DuckDB replays the SAME host/template regexes plus
-    // the integer share math. The trap host's single template holds 100% of
-    // its URLs; diverse hosts sit near 1/6 shares, far below the 300-milli
-    // bar — the verdict discriminates by construction.
+    // the integer share math. Moduli are PAIRWISE COPRIME (trap 5, host 7,
+    // branch 6), so every (host, branch) family is populated and each
+    // diverse host holds all six at ~166 milli — below the 300-milli bar —
+    // while the trap host's single family holds 1000: both verdict
+    // polarities are exercised by construction.
     "q63_trap_templates" -> ((s, dir) => {
       val d = col("doc_id")
       val urls = t(s, dir, "documents").select(
-        when(d % 4 === 1,
+        when(d % 5 === 1,
           concat(lit("https://trap.example.test/cal/"), lit(2000) + d % 30,
             lit("/"), d % 12))
-          .otherwise(concat(lit("https://h"), d % 8, lit(".example.test"),
+          .otherwise(concat(lit("https://h"), d % 7, lit(".example.test"),
             when(d % 6 === 0, concat(lit("/item/"), d))
               .when(d % 6 === 1, concat(lit("/about?page="), d))
               .when(d % 6 === 2, concat(lit("/s/deadbeef"), d))
@@ -2482,9 +2485,9 @@ object SparkEntry {
     // integer milli-share and >= cross-multiply verdict
     "q63_trap_templates" ->
       """WITH urls AS (
-        |  SELECT CASE WHEN doc_id % 4 = 1
+        |  SELECT CASE WHEN doc_id % 5 = 1
         |    THEN 'https://trap.example.test/cal/' || (2000 + doc_id % 30) || '/' || (doc_id % 12)
-        |    ELSE 'https://h' || (doc_id % 8) || '.example.test' ||
+        |    ELSE 'https://h' || (doc_id % 7) || '.example.test' ||
         |      CASE doc_id % 6
         |        WHEN 0 THEN '/item/' || doc_id
         |        WHEN 1 THEN '/about?page=' || doc_id
@@ -2498,7 +2501,7 @@ object SparkEntry {
         |  SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
         |    regexp_replace(regexp_replace(
         |      regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
-        |      '[0-9a-f]{8,}', '~x', 'g'), '[0-9]+', '~d', 'g') AS template
+        |      '[0-9a-fA-F]{8,}', '~x', 'g'), '[0-9]+', '~d', 'g') AS template
         |  FROM urls
         |), agg AS (
         |  SELECT host, template, CAST(count(*) AS BIGINT) AS urls

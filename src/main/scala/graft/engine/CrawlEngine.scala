@@ -350,7 +350,7 @@ final class CrawlEngine(
       .filter($"n" >= minCap) // crossed rows only ever reach the driver
       .collect()
       .filter(r => r.getLong(3) >= caps(r.getString(0)))
-      .map(r => r.getString(0) + 31.toChar + r.getString(1) + 31.toChar + r.getString(2))
+      .map(r => Traps.familyKey(r.getString(0), r.getString(1), r.getString(2)))
       .toSet
   }
 
@@ -359,8 +359,11 @@ final class CrawlEngine(
     applyCancellations()
     applyExpiry()
     // resume may land mid-cadence with crossed families already committed —
-    // force one refresh off the last committed state before scheduling
-    if (gen > 0) refreshTrapSet(gen - 1, force = true)
+    // force one refresh off the last committed state before scheduling.
+    // Skipped when the loop's own cadence-gated refresh is about to run
+    // anyway (its seenSources(gen) strictly covers seenSources(gen - 1)).
+    if (gen > 0 && gen % math.max(1, settings.trapRefreshEvery) != 0)
+      refreshTrapSet(gen - 1, force = true)
     while (activeJobs.nonEmpty && gen < settings.maxGenerations) {
       // NOTE: each generation re-roots from parquet deliberately — carrying
       // a persisted Dataset across supersteps embeds the previous plan into

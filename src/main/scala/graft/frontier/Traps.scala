@@ -35,7 +35,7 @@ object Traps {
 
   private val HostRe = java.util.regex.Pattern.compile("^[a-z]+://([^/?#]+)")
   private val PathRe = java.util.regex.Pattern.compile("^[a-z]+://[^/?#]+([^?#]*)")
-  private val HexRun = java.util.regex.Pattern.compile("[0-9a-f]{8,}")
+  private val HexRun = java.util.regex.Pattern.compile("[0-9a-fA-F]{8,}")
   private val DigitRun = java.util.regex.Pattern.compile("[0-9]+")
 
   /** Kernel-side [[hostCol]] (same regex; spec-pinned equal) for row-by-row
@@ -52,22 +52,30 @@ object Traps {
     DigitRun.matcher(HexRun.matcher(path).replaceAll("~x")).replaceAll("~d")
   }
 
+  /** Trap-gate family key from already-derived parts — the ONE encoding
+    * (U+001F-joined) shared by the candidate gate, the refresh side, and
+    * the specs; a drifted copy would make gate lookups silently miss. */
+  def familyKey(jobId: String, host: String, template: String): String =
+    jobId + 31.toChar + host + 31.toChar + template
+
   /** Trap-gate family key of a normalized URL within a job. */
   def familyKey(jobId: String, normUrl: String): String =
-    jobId + 31.toChar + host(normUrl) + 31.toChar + template(normUrl)
+    familyKey(jobId, host(normUrl), template(normUrl))
 
   /** Host of an absolute URL (scheme-mandatory — frontier URLs are already
     * UrlOps-normalized upstream). */
   def hostCol(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)
 
-  /** Path template: query/fragment dropped, hex runs >= 8 -> `~x` (before
-    * digits, which would split them), digit runs -> `~d`. */
+  /** Path template: query/fragment dropped, hex runs >= 8 (EITHER case —
+    * normalize lowercases only scheme/host, so uppercase session ids and
+    * GUIDs survive in paths) -> `~x` before digits, which would split them;
+    * digit runs -> `~d`. */
   def templateCol(url: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_extract(url, "^[a-z]+://[^/?#]+([^?#]*)", 1),
-        "[0-9a-f]{8,}", "~x"),
+        "[0-9a-fA-F]{8,}", "~x"),
       "[0-9]+", "~d")
 
   /** Per (host, template): member count, host total, integer milli-share,

@@ -48,7 +48,7 @@ class TrapGateSpec extends AnyFunSuite {
   private def calCount(e: CrawlEngine): Long =
     e.seenSet().collect().map(_.getString(1)).count(_.contains("/cal/"))
 
-  private val calKey = "jt" + 31.toChar + "t.test" + 31.toChar + "/cal/~d"
+  private val calKey = graft.frontier.Traps.familyKey("jt", "t.test", "/cal/~d")
 
   test("the calendar family stops at its cap; the rest of the site is " +
       "untouched; the crossed family is visible in engine state") {

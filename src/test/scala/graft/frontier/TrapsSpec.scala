@@ -31,6 +31,10 @@ class TrapsSpec extends AnyFunSuite {
     assert(parsed("https://c.test") == ("c.test", ""))
     // 7 hex chars stay (below the >= 8 id threshold); the digits collapse
     assert(parsed("https://a.test/t/abc12de") == ("a.test", "/t/abc~dde"))
+    // uppercase/mixed-case hex collapses too: normalize lowercases only
+    // scheme and host, so session ids/GUIDs keep their case in paths
+    assert(parsed("https://a.test/s/A3F9C2D8B1E47766") == ("a.test", "/s/~x"))
+    assert(parsed("https://a.test/g/DeadBeef42/x") == ("a.test", "/g/~x/x"))
   }
 
   test("detect: an exploding template on one host is flagged; a diverse " +
