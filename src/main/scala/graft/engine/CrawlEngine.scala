@@ -701,18 +701,32 @@ final class CrawlEngine(
             Nil, Nil, ts, 0L, genV)
         } else {
           val html = new String(r.__phtml, java.nio.charset.StandardCharsets.UTF_8)
-          val ex = Extractor.extract(r.url, html, cfg.formats)
           bump(r.jobId + "\u001fdone")
           bump(r.jobId + "\u001fsucc")
           // A4 per-page cost: 1 credit per successful page within limit (the
           // batch is limit-capped by scheduling, so every success is within
           // limit; json-extraction surcharges are an LLM non-goal)
           bump(r.jobId + "\u001fcost")
-          CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
-            r.attempt, 200, success = true, terminal = true,
-            ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),
-            ex.html.getOrElse(""), ex.rawHtml.getOrElse(""), ex.links,
-            ex.metadata, ts, 1L, genV)
+          if (cfg.parseSitemaps && graft.sources.Sitemap.isSitemap(html)) {
+            // sitemap fan-out: entries (member sitemaps AND page locs) are
+            // this page's out-links — index expansion is a BSP round, not
+            // recursion inside the kernel. Relative locs resolve against
+            // the sitemap's own URL; malformed bodies fan out nothing.
+            val links =
+              try graft.sources.Sitemap.parse(html).map(e =>
+                if (e.url.contains("://")) e.url else UrlOps.resolve(r.url, e.url))
+              catch { case _: IllegalArgumentException => Nil }
+            CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
+              r.attempt, 200, success = true, terminal = true,
+              "", "", "", "", "", links, Nil, ts, 1L, genV)
+          } else {
+            val ex = Extractor.extract(r.url, html, cfg.formats)
+            CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
+              r.attempt, 200, success = true, terminal = true,
+              ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),
+              ex.html.getOrElse(""), ex.rawHtml.getOrElse(""), ex.links,
+              ex.metadata, ts, 1L, genV)
+          }
         }
       }
     }

@@ -81,7 +81,17 @@ final case class CrawlConfig(
     // exact unless a job opts in. The gate reads COMMITTED state, so it
     // lags by up to Settings.trapRefreshEvery generations (BSP-inherent);
     // overshoot is bounded by the lag's enqueue volume, never unbounded.
-    trapMaxUrls: Int = 0) {
+    trapMaxUrls: Int = 0,
+    // sitemap fan-out (sitemaps.org discovery, Sitemap.scala): when a
+    // fetched body's root tag is <urlset>/<sitemapindex>, its entries —
+    // member sitemaps AND page locs — become the page's out-links, so index
+    // expansion runs as ordinary BSP frontier rounds through the same
+    // scope/depth/robots/trap gates. Off by default (the reference's crawl
+    // has no sitemap channel; traces stay reference-exact unless opted in).
+    // A malformed sitemap yields zero fan-out rather than a crashed crawl
+    // (the standalone Sitemap reader stays loud); plain-text sitemaps are
+    // not detectable in-band and remain a file-drop-only format.
+    parseSitemaps: Boolean = false) {
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */

@@ -184,6 +184,21 @@ object Sitemap {
       if (m >= 0L && m <= 1000L) Some(m) else None
     } catch { case _: Exception => None }
 
+  /** Exact root probe: true iff the body's first real tag (after BOM/decl/
+    * comments/DOCTYPE) is `<urlset>` or `<sitemapindex>` — the crawl loop's
+    * opt-in sitemap fan-out keys on this without a full parse. Plain-text
+    * sitemaps are NOT detectable (any text qualifies) and stay a
+    * [[read]]-path-only format. */
+  def isSitemap(body: String): Boolean = {
+    if (body == null) return false
+    val i = body.indexWhere(c => !c.isWhitespace && c != '\uFEFF')
+    if (i < 0 || body.charAt(i) != '<') return false
+    nextTag(body, i) match {
+      case Some((name, false, _, _)) => name == "urlset" || name == "sitemapindex"
+      case _ => false
+    }
+  }
+
   /** Parse one sitemap body (auto-detected XML urlset / XML sitemapindex /
     * plain text). Order-preserving. */
   def parse(body: String): Seq[Entry] = {
