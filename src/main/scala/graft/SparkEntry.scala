@@ -882,6 +882,98 @@ object SparkEntry {
         minUrls = 10, minShareMilli = 300)
     }),
 
+    // redirect-chain collapse (pointer doubling, log2(maxHops) self-joins):
+    // the edge set is closed-form in doc_id — a 2-cycle every 97 ids
+    // (d%97=4 <-> d%97=5, with chains d%10 in 1..3 feeding into it as rho
+    // tails around d%970), plain 1-3 hop chains elsewhere — so DuckDB
+    // re-walks the same functional graph with a recursive CTE while the
+    // engine resolves it in 7 doubling rounds.
+    "q64_redirect_resolve" -> ((s, dir) => {
+      val d = col("doc_id")
+      val edges = t(s, dir, "documents")
+        .where(pmod(d, lit(97)).isin(4, 5) || pmod(d, lit(10)).isin(1, 2, 3))
+        .select(
+          concat(lit("https://r.example.test/u"), d).as("src"),
+          concat(lit("https://r.example.test/u"),
+            when(pmod(d, lit(97)) === 4, d + 1).otherwise(d - 1)).as("dst"))
+      graft.frontier.Redirects.resolve(edges, "src", "dst", maxHops = 32)
+        .orderBy(col("src"))
+    }),
+
+    // canonical-URL alias clustering: pages are tiny synthesized HTML whose
+    // <link rel=canonical> target is closed-form in doc_id (self / root-
+    // relative to d-1 / absolute to d-2 / external cdn pairs sharing d//8).
+    // The REAL Html parse + UrlOps resolve/normalize kernel runs; DuckDB
+    // regenerates the expected (url, canonical) pairs and re-aggregates.
+    "q65_canonical_clusters" -> ((s, dir) => {
+      val d = col("doc_id")
+      val pages = t(s, dir, "documents").select(
+        concat(lit("https://c.example.test/p"), d).as("url"),
+        concat(lit("<html><head>"),
+          when(pmod(d, lit(4)) === 1,
+            concat(lit("<link rel=\"canonical\" href=\"/p"), d - 1, lit("\">")))
+            .when(pmod(d, lit(4)) === 2,
+              concat(lit("<link rel=\"CANONICAL\" href=\"https://c.example.test/p"),
+                d - 2, lit("\">")))
+            .when(pmod(d, lit(4)) === 3,
+              concat(lit("<link rel=\"canonical\" href=\"https://cdn.example.test/x"),
+                expr("doc_id div 8"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body>b</body></html>")).as("html"))
+      graft.pipeline.Canonical.clusters(pages, "url", "html")
+        .orderBy(col("url"))
+    }),
+
+    // charset sniff + decode over a binary html column: bytes are built
+    // per-row in four encodings (utf-8 via meta, iso-8859-1 via http-equiv
+    // meta, utf-16le via BOM, utf-8 via BOM) around a non-ASCII body that
+    // is closed-form in doc_id, so DuckDB recomputes the expected charset
+    // and decoded char counts without touching bytes. The REAL
+    // CharsetSniff.decode kernel (BOM -> meta-prelude -> default) runs.
+    "q66_charset_decode" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val meta = (d % 4) match {
+              case 0 => "<meta charset=\"utf-8\">"
+              case 1 => "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">"
+              case _ => ""
+            }
+            val html = s"<html><head>$meta</head><body>café-$d</body></html>"
+            val bytes = (d % 4) match {
+              case 1 => html.getBytes("ISO-8859-1")
+              case 2 => Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes("UTF-16LE")
+              case 3 => Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ html.getBytes("UTF-8")
+              case _ => html.getBytes("UTF-8")
+            }
+            val (charset, text) = graft.core.CharsetSniff.decode(bytes)
+            (d, charset, text.length, text.count(_ > 127))
+          }
+        }.toDF("doc_id", "charset", "chars", "nonascii")
+        .orderBy(col("doc_id"))
+    }),
+
+    // distributed BPE merge learning over a closed-form corpus (the classic
+    // hug/pug/pun/bun/hugs distribution keyed by doc_id%3): the engine runs
+    // the real word-count-factored loop (one corpus shuffle, then bounded
+    // pair aggregations over the unique-word table); DuckDB replays all 8
+    // merge rounds as chained CTEs using the padded double-space symbol
+    // encoding, whose plain `replace` reproduces greedy left-to-right
+    // non-overlapping merge application exactly. Round 8 is dry on this
+    // corpus (everything is a single symbol by then) — both sides emit 7
+    // rows, which pins the early-stop path too.
+    "q67_bpe_merges" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = t(s, dir, "documents").select(
+        when(pmod(d, lit(3)) === 0, lit("hug hug pug pun"))
+          .when(pmod(d, lit(3)) === 1, lit("pun bun hugs hug"))
+          .otherwise(lit("hug pug pun bun hugs")).as("text"))
+      graft.pipeline.Bpe.learnMerges(docs, "text", merges = 8)
+        .orderBy(col("merge_rank"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1506,6 +1598,61 @@ object SparkEntry {
     * mirroring Spark's `div`, so the ranks are bit-equal, not approximately
     * equal. Branch-selected per scale factor via a seed guard like
     * [[q24BfsCtes]]. */
+  /** q67's oracle: the full BPE merge loop replayed in SQL as chained CTEs.
+    *
+    * Symbol sequences are encoded as padded strings — single space at each
+    * boundary, DOUBLE space between symbols — so DuckDB's plain `replace`
+    * (leftmost, non-overlapping, resuming AFTER the replacement) applies a
+    * merge with exactly the greedy left-to-right semantics of
+    * [[graft.pipeline.Bpe.applyMerge]]: the match ` l  r ` consumes one
+    * space from each neighboring separator and the replacement ` lr `
+    * restores it, so consecutive disjoint pairs all merge in one pass while
+    * overlapping ones don't (` a  a  a ` -> ` aa  a `, verified in DuckDB).
+    * Each round k: pairs from zipping the token list against its own tail,
+    * argmax with the engine's (count DESC, left, right) tie-break and the
+    * same minPairCount >= 2 gate, then the replace. A dry round contributes
+    * zero rows — the engine's early-stop path. */
+  private def q67BpeSql: String = {
+    val merges = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    ' ' || array_to_string(
+        |      list_transform(range(1, length(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
+        |  FROM (
+        |    SELECT unnest(string_split(CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'hug hug pug pun'
+        |      WHEN 1 THEN 'pun bun hugs hug'
+        |      ELSE 'hug pug pun bun hugs' END, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |)""".stripMargin)
+    for (k <- 1 to merges) {
+      sb.append(s""",
+        |b$k AS (
+        |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (
+        |    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z
+        |    FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS toks FROM w${k - 1}))
+        |  WHERE z[2] IS NOT NULL
+        |  GROUP BY z[1], z[2] HAVING CAST(sum(cnt) AS BIGINT) >= 2
+        |  ORDER BY c DESC, l, r LIMIT 1
+        |),
+        |w$k AS (
+        |  SELECT w.cnt,
+        |    replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
+        |                 ' ' || b.l || b.r || ' ') AS s
+        |  FROM w${k - 1} w, b$k b
+        |)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to merges).map { k =>
+      s"SELECT CAST($k AS INT) AS merge_rank, l AS \"left\", r AS \"right\", c AS pair_count FROM b$k"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
+    sb.toString
+  }
+
   private def q44PrSql: String = {
     val a = q44PrCtes(pages = 200, suffix = "pa",
       guard = "(SELECT count(*) FROM documents) = 500")
@@ -2515,6 +2662,79 @@ object SparkEntry {
         |  urls * 1000 // host_urls AS share_milli,
         |  urls >= 10 AND urls * 1000 >= 300 * host_urls AS trap
         |FROM tot ORDER BY host, template""".stripMargin,
+
+    // the same closed-form functional graph, resolved the orthodox SQL way:
+    // a recursive CTE walks every origin hop by hop (bounded at the same
+    // maxHops=32 budget), a source resolves iff some walked row lands on a
+    // URL with no outgoing edge within budget. The engine never walks —
+    // pointer doubling composes the map with itself in 7 rounds.
+    "q64_redirect_resolve" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'https://r.example.test/u' || doc_id AS src,
+        |    'https://r.example.test/u' ||
+        |      CASE WHEN doc_id % 97 = 4 THEN doc_id + 1 ELSE doc_id - 1 END AS dst
+        |  FROM documents
+        |  WHERE doc_id % 97 IN (4, 5) OR doc_id % 10 IN (1, 2, 3)
+        |), walk AS (
+        |  SELECT src AS origin, dst AS cur, 1 AS hops FROM edges
+        |  UNION ALL
+        |  SELECT w.origin, e.dst, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.src = w.cur
+        |  WHERE w.hops <= 32
+        |), term AS (
+        |  SELECT w.origin, w.cur, w.hops FROM walk w
+        |  WHERE w.hops <= 32
+        |    AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+        |)
+        |SELECT e.src AS src, t.cur AS final_url, CAST(t.hops AS INT) AS hops,
+        |  t.origin IS NULL AS cycle
+        |FROM edges e LEFT JOIN term t ON t.origin = e.src
+        |ORDER BY e.src""".stripMargin,
+
+    // expected (url, canonical) pairs regenerated closed-form from doc_id
+    // (the real kernel parses HTML and resolves hrefs), then the same
+    // cluster aggregation: the canonical page represents its cluster when
+    // crawled, else the lexicographically smallest member
+    "q65_canonical_clusters" ->
+      """WITH pages AS (
+        |  SELECT 'https://c.example.test/p' || doc_id AS url,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 1 THEN 'https://c.example.test/p' || (doc_id - 1)
+        |      WHEN 2 THEN 'https://c.example.test/p' || (doc_id - 2)
+        |      WHEN 3 THEN 'https://cdn.example.test/x' || (doc_id // 8)
+        |      ELSE 'https://c.example.test/p' || doc_id
+        |    END AS canonical
+        |  FROM documents
+        |), agg AS (
+        |  SELECT canonical AS c, CAST(count(*) AS BIGINT) AS cluster_size,
+        |    min(CASE WHEN url = canonical THEN url END) AS self_rep,
+        |    min(url) AS min_url
+        |  FROM pages GROUP BY canonical
+        |)
+        |SELECT p.url, p.canonical, a.cluster_size,
+        |  p.url = coalesce(a.self_rep, a.min_url) AS keep
+        |FROM pages p JOIN agg a ON a.c = p.canonical
+        |ORDER BY p.url""".stripMargin,
+
+    // expected charset + decoded char counts recomputed from doc_id alone:
+    // DuckDB builds the same html STRING the kernel encoded to bytes and
+    // char-counts it (the kernel's decode must round-trip exactly);
+    // nonascii is the single 'é' every body carries
+    "q66_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN 'iso-8859-1' WHEN 2 THEN 'utf-16le' ELSE 'utf-8'
+        |  END AS charset,
+        |  CAST(length('<html><head>' ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '<meta charset="utf-8">'
+        |      WHEN 1 THEN '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        |      ELSE '' END ||
+        |    '</head><body>café-' || doc_id || '</body></html>') AS INT) AS chars,
+        |  CAST(1 AS INT) AS nonascii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q67_bpe_merges" -> q67BpeSql,
 
     "q16_url_normalize" ->
       """SELECT doc_id,

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Distributed BPE (byte-pair-encoding) merge learning — tokenizer training
+ * as a Spark job, the op that turns a curated corpus into the vocabulary a
+ * training run actually consumes (the step after [[Vocab]]'s raw tf/df
+ * counts; Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+ * with Subword Units").
+ *
+ * The classic formulation is a greedy loop: count adjacent symbol pairs,
+ * merge the most frequent pair everywhere, repeat. The distributed shape
+ * that survives 100 TB is the standard word-count factoring:
+ *
+ *  1. ONE corpus-sized shuffle up front: whitespace-tokenize and reduce to
+ *     the UNIQUE-WORD table `(word, count)` with map-side combine — Zipf
+ *     makes this table orders of magnitude smaller than the corpus, and it
+ *     is the only thing the loop ever touches again.
+ *  2. Per merge: explode each word's CURRENT symbol sequence into adjacent
+ *     pairs weighted by word count, aggregate (map-side combinable, pair
+ *     cardinality is tiny), and take the argmax — a LIMIT-1 point read,
+ *     the only driver-side data in the loop (one row per merge).
+ *  3. Apply the merge as a per-row kernel over the word table (greedy
+ *     left-to-right non-overlapping, the BPE contract), re-rooted through
+ *     [[Checkpoints.step]] so the k-th iteration's plan stays constant-size
+ *     and each step reads the previous step's cached partitions.
+ *
+ * The loop is inherently sequential (merge k+1's counts depend on merge k
+ * having been applied) — that is the algorithm, not a Spark limitation;
+ * what matters at scale is that each iteration is one bounded shuffle over
+ * the unique-word table, never the corpus.
+ *
+ * Determinism: ties in pair frequency break lexicographically on
+ * (left, right) — byte order, partitioning-independent. Symbols are
+ * UTF-16 code units at initialization (Scala string chars); the q67
+ * fixture is ASCII so the DuckDB oracle's character semantics coincide.
+ */
+object Bpe {
+
+  /** One learned merge: rank 1 is the first (most frequent) merge. */
+  final case class Merge(merge_rank: Int, left: String, right: String, pair_count: Long)
+
+  /** Learn `merges` merge operations from `docs(textCol)`.
+    *
+    * @return (merge_rank, left, right, pair_count), one row per merge, in
+    *         learned order; fewer rows if the corpus runs out of repeated
+    *         pairs (`minPairCount`) first.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, merges: Int,
+      minPairCount: Long = 2): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+
+    val wordSchema = StructType(Seq(
+      StructField("syms", ArrayType(StringType, containsNull = false), nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    val wordEnc = org.apache.spark.sql.Encoders.row(wordSchema)
+
+    // the one corpus-sized shuffle: unique words with counts, as initial
+    // single-character symbol sequences
+    var words: DataFrame = docs
+      .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getString(0).toCharArray.map(_.toString).toSeq, r.getLong(1))
+        }
+      }(wordEnc)
+      .transform(Checkpoints.step)
+
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 0
+    var dry = false
+    while (k < merges && !dry) {
+      // adjacent-pair counts, weighted by word count; map-side combinable
+      val best = words
+        .select(explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+
+      best.headOption.filter(_.getLong(2) >= minPairCount) match {
+        case None => dry = true
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          learned += Merge(k + 1, l, r, c)
+          val next = words.mapPartitions { it =>
+            it.map { wr =>
+              Row(applyMerge(wr.getSeq[String](0), l, r), wr.getLong(1))
+            }
+          }(wordEnc).transform(Checkpoints.step)
+          if (reliable) Checkpoints.drop(words)
+          words = next
+          k += 1
+      }
+    }
+    spark.createDataFrame(learned.toSeq)
+      .select(col("merge_rank"), col("left"), col("right"), col("pair_count"))
+  }
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (l, r). */
+  private[pipeline] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else {
+        out += syms(i); i += 1
+      }
+    }
+    out.result()
+  }
+}
