@@ -51,6 +51,10 @@ object PlanAudit {
       "q61_sitemap_entries"  -> "one kernel scan over fetched bodies — zero exchange before the ordered output; index members fan out as rows, never recursion inside a task",
       "q62_passage_dedup"    -> "one corpus-text scan into the checkpointed fingerprint frame; stats = partial-combinable count/min HashAggregate (NO per-key Window); verdict join over narrow checkpointed rows only",
       "q63_trap_templates"   -> "host/template as a codegen regexp projection; ONE host-keyed hash exchange serves both the (host, template) aggregate and the host-total window — only the ordered output adds a range exchange",
+      "q64_redirect_resolve" -> "pointer doubling: the visible plan is only the LAST of 7 doubling rounds — one left join over the checkpointed constant-width (u, cur, hops, done) frame — because every round re-roots at a LogicalRDD; a naive walk would stack 32 sequential joins into one plan",
+      "q65_canonical_clusters" -> "the parse+resolve kernel runs BELOW the key exchange: only narrow (url, canonical) rows shuffle for the cluster aggregate and member join — page HTML never moves",
+      "q66_charset_decode"   -> "pure per-row sniff+decode kernel over the scan — zero exchange before the ordered output",
+      "q67_bpe_merges"       -> "the returned frame is the bounded driver-side merge list (LocalTableScan — one row per merge by design); the work ran in the per-round jobs: ONE corpus-sized word-count shuffle up front, then per merge a partial-combined pair aggregate over the checkpointed unique-word table ending in a LIMIT-1 TakeOrdered",
       "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate")
 
     val sb = new StringBuilder

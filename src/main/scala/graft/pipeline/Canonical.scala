@@ -65,6 +65,10 @@ object Canonical {
       StructField("url", StringType, nullable = false),
       StructField("canonical", StringType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    // checkpoint-rooted so the parse kernel runs ONCE and feeds both the
+    // cluster aggregate and the member join (without it Catalyst duplicates
+    // the kernel subtree into each side of the self-join — the q18
+    // signature-cache lesson)
     val extracted = pages
       .select(col(urlCol).cast("string").as("u"), col(htmlCol).cast("string").as("h"))
       .mapPartitions { it =>
@@ -73,6 +77,7 @@ object Canonical {
           Row(UrlOps.normalize(u), canonicalOf(u, if (r.isNullAt(1)) "" else r.getString(1)))
         }
       }(enc)
+      .transform(Checkpoints.step)
 
     val agg = extracted.groupBy(col("canonical").as("c"))
       .agg(
