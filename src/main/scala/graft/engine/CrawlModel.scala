@@ -91,7 +91,20 @@ final case class CrawlConfig(
     // A malformed sitemap yields zero fan-out rather than a crashed crawl
     // (the standalone Sitemap reader stays loud); plain-text sitemaps are
     // not detectable in-band and remain a file-drop-only format.
-    parseSitemaps: Boolean = false) {
+    parseSitemaps: Boolean = false,
+    // robots Crawl-delay honoring, batch-mode (C2×C3): one politeness wave
+    // models a wall-clock epoch of this many seconds, so a host whose
+    // robots declares `Crawl-delay: D` gets its per-wave budget capped at
+    // max(1, floor(epoch / D)), composed (min) with hostBudgetPerStep —
+    // exactly how cycle-based crawlers (Nutch's generate/fetch loop)
+    // translate the directive into per-cycle quotas. The >= 1 floor is the
+    // batch approximation: a production superstep spans minutes, so
+    // epoch >> D; starving a host whose delay exceeds the epoch would
+    // deadlock its subtree instead of merely slowing it. 0 = off (the
+    // default — the reference's Crawlee loop enforces delay in wall-clock
+    // between requests, which a BSP trace cannot observe, so traces stay
+    // reference-exact unless a job opts in).
+    crawlDelayEpochSeconds: Double = 0.0) {
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */
@@ -108,6 +121,16 @@ final case class CrawlConfig(
 }
 
 object CrawlConfig {
+  /** Batch-mode Crawl-delay quota (see `crawlDelayEpochSeconds`): the
+    * per-wave budget for a host declaring `delay`, composed (min) with the
+    * base per-host budget. Total: non-positive epoch or absent/non-positive
+    * delay leaves the base budget untouched. */
+  def hostBudgetWithDelay(base: Long, epochSeconds: Double, delay: Option[Double]): Long =
+    if (epochSeconds <= 0) base
+    else delay.filter(_ > 0).fold(base) { d =>
+      math.min(base, math.max(1L, (epochSeconds / d).toLong))
+    }
+
   /** Common ad/tracking domains (the shape of the reference's blocklist at
     * libs/src/constants.ts:4-18 — a data list, re-derived from public
     * knowledge of ubiquitous ad hosts). */

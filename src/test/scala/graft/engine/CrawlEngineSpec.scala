@@ -168,6 +168,52 @@ class CrawlEngineSpec extends AnyFunSuite {
     assertTraceEqual(got, oracle.trace)
   }
 
+  test("robots Crawl-delay caps the per-host budget when opted in (C2×C3)") {
+    val robots = SiteGen.robotsRows(nHosts).toMap
+    // host2 declares `Crawl-delay: 2`; epoch 4s → per-wave quota
+    // floor(4/2) = 2, composed (min) with an unbounded hostBudgetPerStep.
+    // Without the opt-in host2 would be drained in one generation.
+    val cfg = CrawlConfig("j7d", Seq("https://host2.example.test/p0.html"),
+      strategy = "same-hostname", limit = 0, respectRobots = true,
+      crawlDelayEpochSeconds = 4.0)
+    val (got, oracle, engine) = runBoth(cfg, robots)
+    assertTraceEqual(got, oracle.trace)
+    val perGen = engine.trace().collect()
+      .groupBy(_.getAs[Int]("generation")).view.mapValues(_.length).toMap
+    assert(got.size > 2, "fixture must have >2 host2 pages for the cap to bind")
+    assert(perGen.values.forall(_ <= 2), s"Crawl-delay quota violated: $perGen")
+    assert(perGen.values.exists(_ == 2))
+    // opted out (epoch = 0, the default): host2 drains at full speed — the
+    // delay directive alone must not change any existing trace
+    val (got0, oracle0, engine0) =
+      runBoth(cfg.copy(jobId = "j7d0", crawlDelayEpochSeconds = 0.0), robots)
+    assertTraceEqual(got0, oracle0.trace)
+    val perGen0 = engine0.trace().collect()
+      .groupBy(_.getAs[Int]("generation")).view.mapValues(_.length).toMap
+    assert(perGen0.values.max > 2)
+    // waves compose: epoch 4 (quota 2) × 3 waves = at most 6 per generation,
+    // still oracle-exact in wave-major order
+    val (gotW, oracleW, engineW) =
+      runBoth(cfg.copy(jobId = "j7dw", politenessWaves = 3), robots)
+    assertTraceEqual(gotW, oracleW.trace)
+    val perGenW = engineW.trace().collect()
+      .groupBy(_.getAs[Int]("generation")).view.mapValues(_.length).toMap
+    assert(perGenW.values.forall(_ <= 6), s"wave×delay cap violated: $perGenW")
+  }
+
+  test("hostBudgetWithDelay is total and composes min with the base budget") {
+    import CrawlConfig.hostBudgetWithDelay
+    assert(hostBudgetWithDelay(5L, 0.0, Some(2.0)) == 5L)       // opted out
+    assert(hostBudgetWithDelay(5L, -1.0, Some(2.0)) == 5L)
+    assert(hostBudgetWithDelay(5L, 10.0, None) == 5L)           // no directive
+    assert(hostBudgetWithDelay(5L, 10.0, Some(0.0)) == 5L)      // degenerate delay
+    assert(hostBudgetWithDelay(5L, 10.0, Some(-3.0)) == 5L)
+    assert(hostBudgetWithDelay(5L, 10.0, Some(2.0)) == 5L)      // quota 5 = base
+    assert(hostBudgetWithDelay(5L, 10.0, Some(5.0)) == 2L)      // quota binds
+    assert(hostBudgetWithDelay(5L, 10.0, Some(60.0)) == 1L)     // >= 1 floor
+    assert(hostBudgetWithDelay(Int.MaxValue.toLong, 4.0, Some(2.0)) == 2L)
+  }
+
   test("404 retries with attempt budget (Queue.ts:83-88 analog)") {
     // corpus with a missing page: p1 links to it via a dead href
     val s = spark; import s.implicits._

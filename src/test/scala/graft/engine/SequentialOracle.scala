@@ -64,7 +64,10 @@ object SequentialOracle {
       val staged = mutable.ArrayBuffer[(Long, FrontierEntry)]()
       sorted.foreach { e =>
         val c = cfgs(e.jobId)
-        val b = c.hostBudgetPerStep.toLong
+        // per-(job, host): hostBudgetPerStep capped by the robots
+        // Crawl-delay quota when the job opted in (same pure function the
+        // engine's schedule paths call)
+        val b = CrawlEngine.effectiveBudget(c, robots, c.hostBudgetPerStep.toLong, e.host)
         val cap = if (b >= Int.MaxValue.toLong) Long.MaxValue else b * c.politenessWaves
         val k = hostCount((e.jobId, e.host))
         if (k < cap) {
