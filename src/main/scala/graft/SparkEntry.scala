@@ -974,6 +974,38 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     }),
 
+    // C4-style heuristic cleaning (Raffel et al. 2020 §2.2; the third gate
+    // family next to q39's Gopher rules and q15's quality score). The corpus
+    // is single-line word soup, so multi-line bodies are planted by
+    // construction — doc_id%6+1 good lines plus one rule-specific special
+    // line per doc_id%24 — making every line rule (terminal punctuation,
+    // min words, javascript) and page rule (lorem ipsum, brace, bad word,
+    // min kept lines) bind somewhere. The oracle recomputes the full report
+    // from the same text with DuckDB list ops — no label replay.
+    "q68_c4_filters" -> ((s, dir) => {
+      val d = col("doc_id")
+      val docs = t(s, dir, "documents").select(d, col("text"))
+      val special = when(pmod(d, lit(24)) === 1,
+          lit("\nplease enable javascript to view this content."))
+        .when(pmod(d, lit(24)) === 5,
+          lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+        .when(pmod(d, lit(24)) === 9,
+          lit("\nfunction render() { return html; }"))
+        .when(pmod(d, lit(24)) === 13,
+          lit("\nno terminal punctuation on this line at all"))
+        .when(pmod(d, lit(24)) === 17, lit("\ntiny line."))
+        .when(pmod(d, lit(24)) === 21,
+          lit("\nthis sentence quietly mentions xxbadxx today."))
+        .otherwise(lit(""))
+      val planted = docs.withColumn("text", concat(col("text"),
+        array_join(array_repeat(
+          lit("\ngood line with plenty of words to pass here."),
+          (pmod(d, lit(6)) + 1).cast("int")), ""),
+        special))
+      graft.pipeline.C4Filter.clean(planted, "doc_id", "text", Seq("xxbadxx"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2735,6 +2767,53 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q67_bpe_merges" -> q67BpeSql,
+
+    // full independent recompute: the same planting arithmetic, then the
+    // line and page rules re-expressed as DuckDB list ops (the q39 pairing
+    // of string_split_regex('\s+') with Spark's split("\\s+") is already
+    // parity-proven there)
+    "q68_c4_filters" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text
+        |      || repeat(chr(10) || 'good line with plenty of words to pass here.',
+        |                CAST(doc_id % 6 + 1 AS INT))
+        |      || CASE doc_id % 24
+        |           WHEN 1 THEN chr(10) || 'please enable javascript to view this content.'
+        |           WHEN 5 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+        |           WHEN 9 THEN chr(10) || 'function render() { return html; }'
+        |           WHEN 13 THEN chr(10) || 'no terminal punctuation on this line at all'
+        |           WHEN 17 THEN chr(10) || 'tiny line.'
+        |           WHEN 21 THEN chr(10) || 'this sentence quietly mentions xxbadxx today.'
+        |           ELSE '' END AS t
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |                x -> len(x) > 0) AS ls
+        |  FROM planted
+        |), kept AS (
+        |  SELECT doc_id, t, ls,
+        |    list_filter(ls, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(list_filter(string_split_regex(l, '\s+'),
+        |                          w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS ks
+        |  FROM ln
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS INT) AS total_lines,
+        |  CAST(len(ks) AS INT) AS kept_lines,
+        |  CAST(len(array_to_string(ks, chr(10))) AS INT) AS clean_len,
+        |  CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(t, '{') THEN 'brace'
+        |       WHEN contains(lower(t), 'xxbadxx') THEN 'bad_word'
+        |       WHEN len(ks) < 3 THEN 'too_few_lines'
+        |       ELSE 'ok' END AS reason,
+        |  (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
+        |   AND NOT contains(lower(t), 'xxbadxx') AND len(ks) >= 3) AS keep
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
