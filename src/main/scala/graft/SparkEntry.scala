@@ -1006,6 +1006,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC archive EXPORT sink (Warc.write — the reverse of q55's reader):
+    // a closed-form pages table is written through the distributed sink
+    // (url-hash partitions, record-per-member gzip, streaming tasks) and
+    // read back with Warc.read; the oracle recomputes the projection
+    // closed-form from doc_id, so a green row proves the full write→read
+    // round trip preserved every url, timestamp, status, and payload byte.
+    "q69_warc_write" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcsink").toFile
+      tmp.deleteOnExit()
+      val d = col("doc_id")
+      val pages = t(s, dir, "documents").select(
+        concat(lit("https://host"), pmod(d, lit(40)),
+          lit(".example.test/e"), d).as("url"),
+        (lit(1700000000L) + d).cast("timestamp").as("warc_ts"),
+        when(pmod(d, lit(7)) === 3, 404).otherwise(200)
+          .cast("int").as("status"),
+        concat(lit("<html><body>export page "), d,
+          lit("</body></html>")).cast("binary").as("html"))
+      val manifest =
+        graft.sources.Warc.write(pages, tmp.getAbsolutePath, partitions = 4)
+      val written = manifest.agg(sum(col("records"))).collect()(0).getLong(0)
+      require(written > 0, "warc export wrote no records")
+      tmp.listFiles().foreach(_.deleteOnExit())
+      graft.sources.Warc.read(s, tmp.getAbsolutePath + "/part-*.warc.gz")
+        .select(col("url"), col("warc_ts").cast("long").as("ts_epoch"),
+          col("status"),
+          length(col("html")).cast("long").as("n_bytes"),
+          md5(col("html")).as("payload_md5"))
+        .orderBy(col("url"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2814,6 +2845,19 @@ object SparkEntry {
         |  (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
         |   AND NOT contains(lower(t), 'xxbadxx') AND len(ks) >= 3) AS keep
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the exported pages: a green row proves the
+    // distributed write→read round trip byte-preserved every field
+    "q69_warc_write" ->
+      """SELECT
+        |  'https://host' || (doc_id % 40) || '.example.test/e' || doc_id AS url,
+        |  1700000000 + doc_id AS ts_epoch,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INT) AS status,
+        |  CAST(len('<html><body>export page ' || doc_id || '</body></html>')
+        |       AS BIGINT) AS n_bytes,
+        |  md5('<html><body>export page ' || doc_id || '</body></html>')
+        |    AS payload_md5
+        |FROM documents ORDER BY url""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,

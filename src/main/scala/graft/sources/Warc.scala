@@ -379,6 +379,63 @@ object Warc {
     bos.toByteArray
   }
 
+  /** Archive export sink — the reverse of [[read]] (SURVEY §2.1 S-row
+    * symmetry): `pages(url, warc_ts, status, html)` → one record-per-member
+    * `.warc.gz` file per partition under `dir` (the Common Crawl layout the
+    * reader and the CDX indexer consume), returning the per-file manifest
+    * `(file, records, bytes)`. Lazy like any Spark write surface that
+    * returns data: an action on the manifest runs the export.
+    *
+    * Scale/recovery shape:
+    *  - each task STREAMS its partition straight to the filesystem — memory
+    *    is O(largest record), never O(partition);
+    *  - rows are sorted by url WITHIN each partition first, record ids are
+    *    hash-derived, and Java's gzip header carries mtime=0 — so file bytes
+    *    are a pure function of (partitioning, data). A retried or
+    *    speculated task re-creates its file with IDENTICAL bytes
+    *    (create-overwrite), making the write idempotent by determinism —
+    *    the same property the engine's footer reconciliation leans on;
+    *  - `partitions > 0` re-keys by url hash first, giving the ~1 GB-per-
+    *    archive sizing Common Crawl uses (callers size it as
+    *    total_bytes / 1 GB at 100 TB). */
+  def write(df: DataFrame, dir: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = df.select(col("url").cast("string"),
+      col("warc_ts").cast("timestamp"), col("status").cast("int"),
+      col("html").cast("binary"))
+    val shaped = if (partitions > 0) base.repartition(partitions, col("url"))
+      else base
+    val confB = spark.sparkContext.broadcast(
+      new graft.core.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    shaped.sortWithinPartitions("url").rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val name = f"part-$pid%05d.warc.gz"
+        val path = new org.apache.hadoop.fs.Path(dir, name)
+        val fs = path.getFileSystem(confB.value.value)
+        // no .crc sidecars next to archives (ChecksumFileSystem would write
+        // them on local/raw filesystems; gzip members carry their own CRC32)
+        fs.setWriteChecksum(false)
+        val out = fs.create(path, true)
+        var n = 0L; var bytes = 0L
+        try it.foreach { r =>
+          val payload = r.get(3) match {
+            case null => Array.emptyByteArray
+            case b: Array[Byte] => b
+          }
+          val rec = new ByteArrayOutputStream(payload.length + 512)
+          writeResponse(rec, r.getString(0), r.getTimestamp(1).toInstant,
+            r.getInt(2), payload)
+          val gz = gzipMember(rec.toByteArray)
+          out.write(gz); n += 1; bytes += gz.length
+        } finally out.close()
+        Iterator((name, n, bytes))
+      }
+    }.toDF("file", "records", "bytes")
+  }
+
   // ----------------------------------------------------------------- read
 
   /** DataFrame(url string, warc_ts timestamp, status int, html binary)
