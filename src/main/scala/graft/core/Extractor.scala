@@ -36,7 +36,8 @@ object Extractor {
       rawHtml: Boolean = false)
 
   def extract(url: String, rawHtml: String, formats: Formats = Formats(),
-      cleanOpts: Cleaner.Options = Cleaner.Options()): Extracted = {
+      cleanOpts: Cleaner.Options = Cleaner.Options(),
+      honorNofollow: Boolean = false): Extracted = {
     val doc = Html.parse(rawHtml)
 
     // title ($('title').text().trim(), DataExtractor.ts:158-162)
@@ -60,7 +61,7 @@ object Extractor {
     // resolved against the page url (Base.ts:362-403 + HTMLTransformer
     // resolve semantics).
     val links: Seq[String] =
-      if (formats.links) LinkExtractor.extract(doc, url) else Nil
+      if (formats.links) LinkExtractor.extract(doc, url, honorNofollow) else Nil
 
     // One cleaned DOM serves both the html format (rendered) and the
     // markdown converter (DOM handoff — no serialize/re-parse roundtrip);
@@ -124,11 +125,34 @@ object LinkExtractor {
     out.result()
   }
 
-  def extract(doc: Html.Doc, baseUrl: String): Seq[String] = {
+  def extract(doc: Html.Doc, baseUrl: String,
+      honorNofollow: Boolean = false): Seq[String] = {
+    if (honorNofollow && metaNofollow(doc)) return Nil
     val seen = scala.collection.mutable.LinkedHashSet[String]()
-    occurrences(doc, baseUrl).foreach { case (abs, _) => seen += abs }
+    occurrences(doc, baseUrl).foreach { case (abs, a) =>
+      if (!(honorNofollow && relNofollow(a))) seen += abs
+    }
     seen.toSeq
   }
+
+  /** rel attribute declares the nofollow link type. Tokens are ASCII-
+    * whitespace-separated per the HTML spec; commas are tolerated as
+    * separators too (major crawlers accept `rel="nofollow, noopener"`),
+    * matching case-insensitively so `rel="NoFollow"` counts. */
+  def relNofollow(a: Html.Elem): Boolean =
+    a.attr("rel").exists(hasToken(_, "nofollow"))
+
+  /** Page-level robots nofollow: a `<meta name="robots">` whose content
+    * carries the `nofollow` or `none` directive (none = noindex,nofollow per
+    * the robots meta-tag convention). Applies to every link on the page. */
+  def metaNofollow(doc: Html.Doc): Boolean =
+    Html.select(doc, "meta").exists { m =>
+      m.attr("name").exists(_.equalsIgnoreCase("robots")) &&
+        m.attr("content").exists(c => hasToken(c, "nofollow") || hasToken(c, "none"))
+    }
+
+  private def hasToken(value: String, token: String): Boolean =
+    value.split("[\\s,]+").exists(_.equalsIgnoreCase(token))
 
   def extractFromHtml(html: String, baseUrl: String): Seq[String] =
     extract(Html.parse(html), baseUrl)

@@ -740,7 +740,8 @@ final class CrawlEngine(
               r.attempt, 200, success = true, terminal = true,
               "", "", "", "", "", links, Nil, ts, 1L, genV)
           } else {
-            val ex = Extractor.extract(r.url, html, cfg.formats)
+            val ex = Extractor.extract(r.url, html, cfg.formats,
+              honorNofollow = cfg.honorNofollow)
             CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
               r.attempt, 200, success = true, terminal = true,
               ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),

@@ -104,7 +104,17 @@ final case class CrawlConfig(
     // default — the reference's Crawlee loop enforces delay in wall-clock
     // between requests, which a BSP trace cannot observe, so traces stay
     // reference-exact unless a job opts in).
-    crawlDelayEpochSeconds: Double = 0.0) {
+    crawlDelayEpochSeconds: Double = 0.0,
+    // rel=nofollow / meta-robots-nofollow honoring: when on, an anchor whose
+    // rel tokens include `nofollow` contributes no out-link, and a page whose
+    // `<meta name="robots">` carries `nofollow` (or `none`) contributes NO
+    // out-links at all — classic link-graph hygiene for a polite crawler.
+    // Off by default: the reference's Crawlee enqueueLinks follows nofollow
+    // links (Base.ts:362-403 has no rel check), so traces stay reference-
+    // exact unless a job opts in. Filtering happens in the extract kernel,
+    // so an opted-in job's `links` format reports followable links only —
+    // the same set the frontier expands (one definition, no divergence).
+    honorNofollow: Boolean = false) {
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */
