@@ -1037,6 +1037,38 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // model-based quality filter (the GPT-3/LLaMA linear classifier stage):
+    // EXACT-RECOMPUTE oracle of the full featurize -> train -> score
+    // recurrence. The integer full-batch perceptron starts at w=0, so epoch
+    // 1 misclassifies EVERY doc (y*0 <= 0) and its update is the plain
+    // label-weighted feature sum — and the construction (disjoint class
+    // markers w1/w2 repeated 3+id%4 times vs +-1-noise filler buckets)
+    // makes those epoch-1 weights already separate the classes (marker mass
+    // >= 3*sum(m) vs filler noise bounded by class imbalance), so epoch 2
+    // finds zero errors and the final weights EQUAL the epoch-1 aggregate.
+    // DuckDB replays that aggregate and every margin bit-for-bit (all-Long
+    // math, order-independent sums). The injected last-digit bucket fn is
+    // collision-free over the planted vocab (q47 pattern; production
+    // xxBucket + overlapping-vocab training are covered by
+    // QualityClassifierSpec).
+    "q70_quality_classifier" -> ((s, dir) => {
+      val d = col("doc_id")
+      val label = pmod(d, lit(2)) === 0
+      val docs = t(s, dir, "documents").select(d,
+        label.as("label"),
+        concat(
+          expr("repeat(concat(CASE WHEN doc_id % 2 = 0 THEN 'w1' ELSE 'w2' END, ' '), " +
+            "CAST(3 + doc_id % 4 AS INT))"),
+          lit("f"), (pmod(d, lit(6)) + 3)).as("qtext"))
+        .localCheckpoint(false) // feeds train (2 scans) + score (1 scan)
+      val bucketFn: String => Int = tok => tok.charAt(tok.length - 1) - '0'
+      val model = graft.pipeline.QualityClassifier.trainOnText(
+        docs, "qtext", col("label"), buckets = 16, bucket = bucketFn)
+      require(model.lastErrors == 0L, "planted classes must be separable")
+      graft.pipeline.QualityClassifier.score(docs, "doc_id", "qtext", model, bucketFn)
+        .orderBy("doc_id")
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2858,6 +2890,37 @@ object SparkEntry {
         |  md5('<html><body>export page ' || doc_id || '</body></html>')
         |    AS payload_md5
         |FROM documents ORDER BY url""".stripMargin,
+
+    // exact replay of the perceptron's converged weights (= the epoch-1
+    // label-weighted feature sum, see the q70 query comment) and every
+    // per-doc integer margin: w1/w2 carry the class marker mass, each
+    // filler bucket the class imbalance of its docs, bias the global
+    // imbalance; margin = m*w(marker) + w(filler) + bias.
+    "q70_quality_classifier" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    (doc_id % 2 = 0) AS y,
+        |    3 + (doc_id % 4) AS m,
+        |    3 + (doc_id % 6) AS j
+        |  FROM documents
+        |), wm AS (
+        |  SELECT
+        |    sum(CASE WHEN y THEN m ELSE 0 END) AS w1,
+        |    -sum(CASE WHEN NOT y THEN m ELSE 0 END) AS w2,
+        |    sum(CASE WHEN y THEN 1 ELSE -1 END) AS bias
+        |  FROM base
+        |), wf AS (
+        |  SELECT j, sum(CASE WHEN y THEN 1 ELSE -1 END) AS wj
+        |  FROM base GROUP BY j
+        |)
+        |SELECT b.doc_id,
+        |  CAST(b.m * (CASE WHEN b.y THEN wm.w1 ELSE wm.w2 END)
+        |       + wf.wj + wm.bias AS BIGINT) AS margin,
+        |  (b.m * (CASE WHEN b.y THEN wm.w1 ELSE wm.w2 END)
+        |   + wf.wj + wm.bias > 0) AS predicted
+        |FROM base b, wm
+        |JOIN wf ON wf.j = b.j
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
