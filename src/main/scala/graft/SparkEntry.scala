@@ -1069,6 +1069,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // registrable-domain (eTLD+1) extraction via the full publicsuffix.org
+    // algorithm (core/Psl.scala): planted hosts exercise every rule class —
+    // default 1-label, exact multi-label (co.uk), wildcard (*.ck),
+    // exception (!www.ck), private registries (github.io, blogspot.com,
+    // s3.amazonaws.com), IPs and bare labels — and the expected PLD/suffix
+    // are closed-form in doc_id, so DuckDB recomputes them without running
+    // the matcher. Scale shape: a pure per-row kernel projection (hash-set
+    // probes, no regex, no shuffle) — the "same-domain" scope key and the
+    // q52 domain-reputation group key at 10^10 rows.
+    "q71_registrable_domain" -> ((s, dir) => {
+      val d = col("doc_id")
+      val m = pmod(d, lit(10))
+      val i = pmod(d, lit(40))
+      val url = concat(lit("https://"),
+        when(m === 0, concat(lit("WWW.Site"), i, lit(".COM")))
+          .when(m === 1, concat(lit("news.blog"), i, lit(".co.uk")))
+          .when(m === 2, concat(lit("user"), i, lit(".github.io")))
+          .when(m === 3, concat(lit("a.b.site"), i, lit(".org")))
+          .when(m === 4, concat(lit("x.stuff"), i, lit(".ck")))
+          .when(m === 5, lit("sub.www.ck"))
+          .when(m === 6, concat(lit("203.0.113."), pmod(d, lit(250))))
+          .when(m === 7, lit("localhost"))
+          .when(m === 8, concat(lit("shop"), i, lit(".blogspot.com")))
+          .otherwise(concat(lit("cdn.bucket"), i, lit(".s3.amazonaws.com"))),
+        lit("/p"), pmod(d, lit(7)))
+      val hostUdf = udf((u: String) => UrlOps.host(u))
+      val pldUdf = udf((h: String) => graft.core.Psl.snapshot.registrable(h))
+      val sufUdf = udf((h: String) => graft.core.Psl.snapshot.publicSuffix(h))
+      t(s, dir, "documents").select(d, url.as("url"))
+        .select(d.as("doc_id"), hostUdf(col("url")).as("host"))
+        .select(col("doc_id"), col("host"),
+          pldUdf(col("host")).as("pld"), sufUdf(col("host")).as("suffix"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -2921,6 +2956,49 @@ object SparkEntry {
         |FROM base b, wm
         |JOIN wf ON wf.j = b.j
         |ORDER BY b.doc_id""".stripMargin,
+
+    // closed-form replay of the planted PSL rule classes (see the q71
+    // query comment): host, eTLD+1 and public suffix are all CASE
+    // expressions in doc_id — DuckDB never runs the matcher.
+    "q71_registrable_domain" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 10
+        |    WHEN 0 THEN 'www.site' || (doc_id % 40) || '.com'
+        |    WHEN 1 THEN 'news.blog' || (doc_id % 40) || '.co.uk'
+        |    WHEN 2 THEN 'user' || (doc_id % 40) || '.github.io'
+        |    WHEN 3 THEN 'a.b.site' || (doc_id % 40) || '.org'
+        |    WHEN 4 THEN 'x.stuff' || (doc_id % 40) || '.ck'
+        |    WHEN 5 THEN 'sub.www.ck'
+        |    WHEN 6 THEN '203.0.113.' || (doc_id % 250)
+        |    WHEN 7 THEN 'localhost'
+        |    WHEN 8 THEN 'shop' || (doc_id % 40) || '.blogspot.com'
+        |    ELSE 'cdn.bucket' || (doc_id % 40) || '.s3.amazonaws.com'
+        |  END AS host,
+        |  CASE doc_id % 10
+        |    WHEN 0 THEN 'site' || (doc_id % 40) || '.com'
+        |    WHEN 1 THEN 'blog' || (doc_id % 40) || '.co.uk'
+        |    WHEN 2 THEN 'user' || (doc_id % 40) || '.github.io'
+        |    WHEN 3 THEN 'site' || (doc_id % 40) || '.org'
+        |    WHEN 4 THEN 'x.stuff' || (doc_id % 40) || '.ck'
+        |    WHEN 5 THEN 'www.ck'
+        |    WHEN 6 THEN '203.0.113.' || (doc_id % 250)
+        |    WHEN 7 THEN 'localhost'
+        |    WHEN 8 THEN 'shop' || (doc_id % 40) || '.blogspot.com'
+        |    ELSE 'bucket' || (doc_id % 40) || '.s3.amazonaws.com'
+        |  END AS pld,
+        |  CASE doc_id % 10
+        |    WHEN 0 THEN 'com'
+        |    WHEN 1 THEN 'co.uk'
+        |    WHEN 2 THEN 'github.io'
+        |    WHEN 3 THEN 'org'
+        |    WHEN 4 THEN 'stuff' || (doc_id % 40) || '.ck'
+        |    WHEN 5 THEN 'ck'
+        |    WHEN 6 THEN '203.0.113.' || (doc_id % 250)
+        |    WHEN 7 THEN 'localhost'
+        |    WHEN 8 THEN 'blogspot.com'
+        |    ELSE 's3.amazonaws.com'
+        |  END AS suffix
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,

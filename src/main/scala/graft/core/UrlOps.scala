@@ -192,31 +192,11 @@ object UrlOps {
   private def isDefaultPort(scheme: String, port: String): Boolean =
     (scheme == "http" && port == "80") || (scheme == "https" && port == "443")
 
-  /** Multi-label public suffixes we recognize without a dependency; enough
-    * for eTLD+1 ("registrable domain") on common hosts + the fixture domain. */
-  private val multiSuffixes: Set[String] = Set(
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.in", "net.in", "org.in", "gov.in", "ac.in",
-    "co.kr", "or.kr", "go.kr", "co.nz", "org.nz", "net.nz",
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
-    "co.za", "org.za", "com.my", "co.id", "or.id"
-  )
-
-  /** eTLD+1 of the host of `url` ("same-domain" crawl-strategy key). A bare
-    * single-label host (or IP) is returned as-is. */
-  def registrableDomain(url: String): String = {
-    val h = host(url)
-    if (h.isEmpty || h.forall(c => c.isDigit || c == '.') || h.startsWith("[")) return h
-    val labels = h.split('.')
-    if (labels.length <= 2) return h
-    val last2 = labels.takeRight(2).mkString(".")
-    val n = if (multiSuffixes.contains(last2)) 3 else 2
-    labels.takeRight(math.min(n, labels.length)).mkString(".")
-  }
+  /** eTLD+1 of the host of `url` ("same-domain" crawl-strategy key), via
+    * the full PSL algorithm over [[Psl.snapshot]] (wildcards, exceptions,
+    * private registries — see Psl's class doc). A bare single-label host
+    * (or IP) is returned as-is. */
+  def registrableDomain(url: String): String = Psl.snapshot.registrable(host(url))
 
   /**
    * Crawl-dedup normalization (Crawlee `computeUniqueKey` semantics):
