@@ -1173,6 +1173,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // incremental near-dup: delta batch vs the corpus's persisted banded
+    // signature index (Dedup.incrementalNearDup — only the delta is
+    // shingled/signed; corpus text is never touched). By-construction
+    // oracle (DedupGen.incr*Text): delta members id%5==0 are byte copies of
+    // their corpus doc (identical signature -> every band matches, est 1.0),
+    // id%5==2 members and all corpus docs have per-id-unique tokens (no
+    // shared shingles anywhere else), so the match set is pure doc_id
+    // arithmetic.
+    "q72_incremental_neardup" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val corpus = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(i => (i, graft.fixtures.DedupGen.incrCorpusText(i)))
+        .toDF("doc_id", "text")
+      val index = Dedup.lshBands(
+        Dedup.minhashSignatures(corpus, "text", "doc_id", numHashes = 32),
+        numHashes = 32, bands = 8)
+      val delta = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter(i => i % 5 == 0 || i % 5 == 2)
+        .map(i => (i + graft.fixtures.DedupGen.incrDeltaBase,
+          graft.fixtures.DedupGen.incrDeltaText(i)))
+        .toDF("doc_id", "text")
+      Dedup.incrementalNearDup(index, delta, "text", "doc_id",
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("delta_id"), col("index_id"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("delta_id"), col("index_id"))
+    }),
+
     // by-construction oracle (DedupGen.simhashText): identical planted pair
     // texts give hamming 0; everything else is a ~uniform 64-bit fingerprint
     // (P[dist<=3] ~ 2.4e-15/pair). The REAL pigeonhole banding + bit_count
@@ -3087,6 +3116,13 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0 AND (a.doc_id // 2) % 3 <> 0
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted incremental matches (q72 query comment): copies -> est 1.0
+    "q72_incremental_neardup" ->
+      """SELECT doc_id + 10000000 AS delta_id, doc_id AS index_id,
+        |  CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY delta_id, index_id""".stripMargin,
 
     // planted simhash pairs (q19 query comment): kept groups g%4<>1 are
     // identical texts -> hamming 0

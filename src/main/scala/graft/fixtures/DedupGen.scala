@@ -45,6 +45,16 @@ object DedupGen {
     tokens(if (g % 3 != 0) s"g${g}v1" else s"d${docId}v1")
   }
 
+  /** q72 corpora: corpus text unique per id (`c{id}i` tokens); the delta
+    * batch carries ids offset by [[incrDeltaBase]] — members with
+    * id % 5 == 0 COPY the corpus doc's text (signature-identical, every
+    * band matches, est_jaccard exactly 1.0), members with id % 5 == 2 get
+    * fresh unique tokens (no shared shingles with anything). */
+  val incrDeltaBase = 10000000L
+  def incrCorpusText(id: Long): String = tokens(s"c${id}i")
+  def incrDeltaText(id: Long): String =
+    if (id % 5 == 0) incrCorpusText(id) else tokens(s"n${id}i")
+
   /** q19 corpus: same shape, different keep-rule (g % 4 != 1) and token salt
     * so the q18/q19 outputs are distinct pair sets. */
   def simhashText(docId: Long): String = {

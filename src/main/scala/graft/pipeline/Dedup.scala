@@ -131,10 +131,7 @@ object Dedup {
       .filter(size(col("sig")) === numHashes)
       .cache()
 
-    val banded = sig.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "bucket")))
+    val banded = lshBands(sig, numHashes, bands)
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -149,6 +146,70 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** (id, sig) MinHash signature frame — the TABLE you persist as the
+    * corpus's near-dup index (one row per doc, `numHashes` longs). The
+    * signature is computed once per doc and cached (see the
+    * ProjectCollapsing note in [[minhashLshPairs]]). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val shingleUdf = udf((t: String) => shingleHashArray(t, shingleSize))
+    val sigUdf = udf((hs: Seq[Long]) => minhashFromHashes(hs.toArray, numHashes))
+    df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .select(col("id"), sigUdf(col("shh")).as("sig"))
+      .filter(size(col("sig")) === numHashes)
+      .cache()
+  }
+
+  /** (band, bucket, id, sig) LSH rows of a signature frame — `bands` rows
+    * per doc; bucket = hash of the band's signature slice, salted by the
+    * band index so identical slices in different bands never collide. */
+  def lshBands(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+        .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+  }
+
+  /**
+   * INCREMENTAL near-dup: match a DELTA batch (today's crawl) against a
+   * persisted banded signature index WITHOUT touching the corpus text.
+   * Returns (delta_id, index_id, est_jaccard) with est >= `threshold`.
+   *
+   * Scale shape (100 TB corpus, daily delta):
+   *  - only the delta is shingled/signed — the corpus contributes its
+   *    (band, bucket, id, sig) index rows, built once per snapshot by
+   *    `lshBands(minhashSignatures(...))` and stored bucketed by
+   *    (band, bucket), so the candidate equi-join is co-located with zero
+   *    index-side shuffle and partition-prunable to the delta's buckets.
+   *  - the join output is O(candidate matches), never delta × corpus; the
+   *    signature verify (est_jaccard) runs on the joined rows only.
+   *  - a delta small enough to broadcast turns the probe into a map-side
+   *    join over the index scan (AQE picks this below the threshold).
+   */
+  def incrementalNearDup(indexBands: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val dSig = minhashSignatures(delta, textCol, idCol, numHashes, shingleSize)
+    val dBands = lshBands(dSig, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("delta_id"), col("sig").as("sig_d"))
+    val ix = indexBands
+      .select(col("band"), col("bucket"), col("id").as("index_id"), col("sig").as("sig_i"))
+    dBands.join(ix, Seq("band", "bucket"))
+      .select("delta_id", "index_id", "sig_d", "sig_i")
+      .dropDuplicates("delta_id", "index_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_d"), col("sig_i"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("delta_id", "index_id", "est_jaccard")
   }
 
   /** 64-bit simhash of whitespace-tokenized text (pure function, used from a

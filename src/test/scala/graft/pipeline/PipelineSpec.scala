@@ -42,6 +42,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("incremental near-dup matches delta against the banded index only") {
+    val index = Dedup.lshBands(
+      Dedup.minhashSignatures(docs, "text", "doc_id", numHashes = 32), 32, 8)
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // copy of 1/2
+      (102L, "unrelated fresh delta wording with entirely new vocabulary tokens only")
+    ).toDF("doc_id", "text")
+    val m = Dedup.incrementalNearDup(index, delta, "text", "doc_id",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select("delta_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(m.contains((101L, 1L)) && m.contains((101L, 2L))) // exact copies matched
+    assert(!m.exists(_._1 == 102L))                          // fresh text matches nothing
+    assert(m.forall(_._1 >= 101L))                           // never corpus-vs-corpus
+  }
+
   test("simhash pigeonhole banding finds all pairs within hamming distance") {
     val withSh = docs.map(r => (r.getLong(0), Dedup.simhash64(r.getString(1))))
       .toDF("doc_id", "simhash")
