@@ -366,32 +366,23 @@ object SparkEntry {
     // edge rule); DuckDB re-derives the identical edge set closed-form and
     // replays the identical integer recurrence, 10 unrolled iterations.
     "q44_link_pagerank" -> ((s, dir) => {
-      val s2 = s
-      import s2.implicits._
-      val pages = math.max(200, (sfOf(dir) * 20000).toInt)
-      val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
-      val total = sizes.map(_.toLong).sum
-      val idRe = """https://host(\d+)\.example\.test/p(\d+)\.html""".r
-      val edges = s.range(total).mapPartitions { it =>
-        val formats = graft.core.Extractor.Formats(
-          html = false, markdown = false, text = false, links = true)
-        it.flatMap { idx =>
-          val (h, p) = graft.fixtures.SiteGen.hostPage(sizes, idx)
-          val url = graft.fixtures.SiteGen.pageUrl(h, p)
-          val html = graft.fixtures.SiteGen.pageHtml(42L, h, p, sizes)
-          val src = h.toLong * 100000L + p
-          graft.core.Extractor.extract(url, html, formats).links.flatMap { l =>
-            UrlOps.normalize(l) match {
-              case idRe(dh, dj) => Some((src, dh.toLong * 100000L + dj.toLong))
-              case _            => None
-            }
-          }
-        }
-      }.toDF("src", "dst")
-      graft.pipeline.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = q44Iters)
+      graft.pipeline.Graph.pageRankFixedPoint(siteGenEdges(s, dir), "src", "dst",
+          iterations = q44Iters)
         .select(expr("id div 100000").cast("int").as("host"),
           expr("id % 100000").as("page"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("host"), col("page"))
+    }),
+
+    // HITS hubs/authorities over the SAME extracted link graph as q44
+    // (Graph.hitsFixedPoint — integer sum-normalized fixed point, 5
+    // rounds); DuckDB re-derives the edge set closed-form and replays the
+    // identical recurrence, unrolled, with `//` division.
+    "q74_link_hits" -> ((s, dir) => {
+      graft.pipeline.Graph.hitsFixedPoint(siteGenEdges(s, dir), "src", "dst",
+          iterations = q74Iters)
+        .select(expr("id div 100000").cast("int").as("host"),
+          expr("id % 100000").as("page"), col("auth_fp"), col("hub_fp"))
+        .orderBy(col("auth_fp").desc, col("host"), col("page"))
     }),
 
     // the composed curation pipeline WITH the near-dup cluster stage
@@ -1104,6 +1095,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PLD-level link graph: collapse a page-level edge list to registrable
+    // domains (Psl kernel on both endpoints) and aggregate edge weights —
+    // the site-graph a reputation/spam pass actually consumes (page graphs
+    // are too granular at 10^10 nodes). Planted endpoints are closed-form
+    // in doc_id over 4 PSL rule classes. Scale shape: PLD projection is a
+    // pure kernel; the aggregate is ONE groupBy with map-side combine
+    // (count + two-phase distinct-host count); page URLs never shuffle.
+    "q75_domain_graph" -> ((s, dir) => {
+      val d = col("doc_id")
+      def hostOf(cls: Column, idx: Column): Column =
+        when(cls === 0, concat(lit("www.site"), idx, lit(".com")))
+          .when(cls === 1, concat(lit("news.blog"), idx, lit(".co.uk")))
+          .when(cls === 2, concat(lit("user"), idx, lit(".github.io")))
+          .otherwise(concat(lit("shop"), idx, lit(".blogspot.com")))
+      val src = hostOf(pmod(d, lit(4)), pmod(d, lit(40)))
+      val dst = hostOf(pmod(d + 1, lit(4)), pmod(d * 7 + 3, lit(40)))
+      val pldUdf = udf((h: String) => graft.core.Psl.snapshot.registrable(h))
+      t(s, dir, "documents")
+        .select(pldUdf(src).as("src_pld"), pldUdf(dst).as("dst_pld"),
+          src.as("src_host"))
+        .groupBy(col("src_pld"), col("dst_pld"))
+        .agg(count(lit(1)).as("links"),
+          countDistinct(col("src_host")).as("src_hosts"))
+        .orderBy(col("src_pld"), col("dst_pld"))
+    }),
+
+    // CCNet-style head/middle/tail split by EXACT global rank over a total
+    // order (score, doc_id) — Pack.globalRank's windowless range-partition
+    // prefix machinery, never a single-partition window. Planted integer
+    // scores make the rank (and therefore the tertile) closed-form enough
+    // for DuckDB to replay with a window function (fine at oracle scale;
+    // the Spark side is the scale-safe path).
+    "q76_rank_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id") * 37, lit(101)).as("score"))
+      val total = docs.count()
+      graft.pipeline.Pack.globalRank(docs, Seq("score", "doc_id"))
+        .withColumn("bucket", // pure integer comparisons — no float division
+          when(col("rank") * 3 < total, "head")
+            .when(col("rank") * 3 < total * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("score"), col("rank"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1200,6 +1236,32 @@ object SparkEntry {
         .select(col("delta_id"), col("index_id"),
           round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("delta_id"), col("index_id"))
+    }),
+
+    // BPE ENCODE (the apply half of q67's train): a fixed merge list over
+    // planted 4-case texts whose standard lowest-rank-loop segmentation is
+    // closed-form — "abc abc" fully merges via (a,b) then (ab,c); "abxy"
+    // splits at the unranked (b,x); "cab" keeps the leading c; "zq ab"
+    // leaves unranked z q intact. Zero-shuffle kernel scan (see Bpe.encode
+    // scaladoc); the cross-rank re-scan path is covered in BpeSpec.
+    "q73_bpe_encode" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val merges = Seq(("a", "b"), ("ab", "c"), ("x", "y"))
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { i =>
+          (i, (i % 4) match {
+            case 0 => "abc abc"
+            case 1 => "abxy"
+            case 2 => "cab"
+            case _ => "zq ab"
+          })
+        }
+        .toDF("doc_id", "text")
+      graft.pipeline.Bpe.encode(docs, "text", "doc_id", merges)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          array_join(col("toks"), " ").as("encoded"))
+        .orderBy(col("doc_id"))
     }),
 
     // by-construction oracle (DedupGen.simhashText): identical planted pair
@@ -1745,6 +1807,38 @@ object SparkEntry {
     (sb.toString, maxDepth)
   }
 
+  /** The q44/q74 link graph: REAL extraction (parse + a[href] resolve +
+    * normalize) over every SiteGen page, mapped to host*100000+page node
+    * ids. DuckDB re-derives the identical edge set closed-form from the
+    * generator's link rule. */
+  private def siteGenEdges(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    val pages = math.max(200, (sfOf(dir) * 20000).toInt)
+    val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
+    val total = sizes.map(_.toLong).sum
+    val idRe = """https://host(\d+)\.example\.test/p(\d+)\.html""".r
+    s.range(total).mapPartitions { it =>
+      val formats = graft.core.Extractor.Formats(
+        html = false, markdown = false, text = false, links = true)
+      it.flatMap { idx =>
+        val (h, p) = graft.fixtures.SiteGen.hostPage(sizes, idx)
+        val url = graft.fixtures.SiteGen.pageUrl(h, p)
+        val html = graft.fixtures.SiteGen.pageHtml(42L, h, p, sizes)
+        val src = h.toLong * 100000L + p
+        graft.core.Extractor.extract(url, html, formats).links.flatMap { l =>
+          UrlOps.normalize(l) match {
+            case idRe(dh, dj) => Some((src, dh.toLong * 100000L + dj.toLong))
+            case _            => None
+          }
+        }
+      }
+    }.toDF("src", "dst")
+  }
+
+  /** Single source of truth for q74's iteration count. */
+  private val q74Iters = 5
+
   /** Single source of truth for q44's iteration count — the Spark query,
     * the CTE unrolling, and the final `FROM r<k>` selection all read it. */
   private val q44Iters = 10
@@ -1828,39 +1922,108 @@ object SparkEntry {
        |ORDER BY rank_fp DESC, host, page""".stripMargin
   }
 
-  private def q44PrCtes(pages: Int, suffix: String, guard: String): String = {
-    val iters = q44Iters
+  /** q74's oracle rounds: the integer HITS recurrence (see
+    * Graph.hitsFixedPoint scaladoc) unrolled over the shared graph CTEs —
+    * sum-normalizers are scalar subqueries, all division `//`. */
+  private def q74HitsCtes(pages: Int, suffix: String, guard: String): String = {
+    val scale = 1000000000000L
+    val sb = new StringBuilder
+    sb.append(siteGraphCtes(pages, suffix, guard))
+    sb.append(
+      s""",
+         |h0$suffix AS (SELECT id, CAST($scale AS BIGINT) AS h FROM nodes$suffix)""".stripMargin)
+    (1 to q74Iters).foreach { k =>
+      val p = k - 1
+      sb.append(
+        s""",
+           |araw$k$suffix AS MATERIALIZED (
+           |  SELECT nd.id, CAST(COALESCE(x.s, 0) AS BIGINT) AS raw
+           |  FROM nodes$suffix nd LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS s
+           |    FROM edges$suffix e JOIN h$p$suffix h ON h.id = e.src
+           |    GROUP BY e.dst) x ON x.id = nd.id
+           |),
+           |a$k$suffix AS MATERIALIZED (
+           |  SELECT id, CAST(raw // greatest(
+           |    CAST((SELECT SUM(raw) FROM araw$k$suffix) AS BIGINT) // $scale, 1)
+           |    AS BIGINT) AS a
+           |  FROM araw$k$suffix
+           |),
+           |hraw$k$suffix AS MATERIALIZED (
+           |  SELECT nd.id, CAST(COALESCE(x.s, 0) AS BIGINT) AS raw
+           |  FROM nodes$suffix nd LEFT JOIN (
+           |    SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS s
+           |    FROM edges$suffix e JOIN a$k$suffix a ON a.id = e.dst
+           |    GROUP BY e.src) x ON x.id = nd.id
+           |),
+           |h$k$suffix AS MATERIALIZED (
+           |  SELECT id, CAST(raw // greatest(
+           |    CAST((SELECT SUM(raw) FROM hraw$k$suffix) AS BIGINT) // $scale, 1)
+           |    AS BIGINT) AS h
+           |  FROM hraw$k$suffix
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def q74HitsSql: String = {
+    val a = q74HitsCtes(pages = 200, suffix = "ha",
+      guard = "(SELECT count(*) FROM documents) = 500")
+    val b = q74HitsCtes(pages = 2000, suffix = "hb",
+      guard = "(SELECT count(*) FROM documents) = 5000")
+    val sel = (s: String) =>
+      s"""SELECT CAST(a.id // 100000 AS INTEGER) AS host, a.id % 100000 AS page,
+         |  a.a AS auth_fp, h.h AS hub_fp
+         |FROM a$q74Iters$s a JOIN h$q74Iters$s h ON h.id = a.id""".stripMargin
+    s"""WITH ${a},
+       |${b}
+       |${sel("ha")}
+       |UNION ALL
+       |${sel("hb")}
+       |ORDER BY auth_fp DESC, host, page""".stripMargin
+  }
+
+  /** Shared closed-form SiteGen graph prefix (pages/edges/nodes CTEs) for
+    * the q44/q74 oracles — one suffix per scale variant, guarded by the
+    * documents row count so one SQL text adapts to the verify sf. */
+  private def siteGraphCtes(pages: Int, suffix: String, guard: String): String = {
     val sizes = graft.fixtures.SiteGen.hostSizes(pages, 8)
     val sizeValues = sizes.zipWithIndex.map { case (n, h) => s"($h,$n)" }.mkString(",")
+    s"""pages$suffix AS (
+       |  SELECT s.h AS h, CAST(t.j AS BIGINT) AS j, s.n AS n
+       |  FROM (VALUES $sizeValues) s(h,n),
+       |       LATERAL (SELECT unnest(range(s.n)) AS j) t
+       |  WHERE $guard
+       |),
+       |edges$suffix AS MATERIALIZED (
+       |  SELECT DISTINCT h*100000 + j AS src, dh*100000 + dj AS dst FROM (
+       |    SELECT h, j, h AS dh, CAST(0 AS BIGINT) AS dj FROM pages$suffix
+       |    UNION ALL SELECT h, j, h, 2*j+1 FROM pages$suffix WHERE 2*j+1 < n
+       |    UNION ALL SELECT h, j, h, 2*j+2 FROM pages$suffix WHERE 2*j+2 < n
+       |    UNION ALL SELECT h, j, h, (j-1)//2 FROM pages$suffix WHERE j >= 3
+       |    UNION ALL SELECT h, j, (h + j//3) % ${sizes.length}, CAST(0 AS BIGINT)
+       |      FROM pages$suffix WHERE j % 3 = 0 AND j > 0 AND (h + j//3) % ${sizes.length} <> h
+       |  )
+       |),
+       |nodes$suffix AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges$suffix
+       |    UNION ALL SELECT dst FROM edges$suffix)
+       |)""".stripMargin
+  }
+
+  private def q44PrCtes(pages: Int, suffix: String, guard: String): String = {
+    val iters = q44Iters
     val n = pages.toLong
     val scale = 1000000000000L
     val init = scale / n
     val base = scale / n * 15L / 100L
     val sb = new StringBuilder
+    sb.append(siteGraphCtes(pages, suffix, guard))
     sb.append(
-      s"""pages$suffix AS (
-         |  SELECT s.h AS h, CAST(t.j AS BIGINT) AS j, s.n AS n
-         |  FROM (VALUES $sizeValues) s(h,n),
-         |       LATERAL (SELECT unnest(range(s.n)) AS j) t
-         |  WHERE $guard
-         |),
-         |edges$suffix AS MATERIALIZED (
-         |  SELECT DISTINCT h*100000 + j AS src, dh*100000 + dj AS dst FROM (
-         |    SELECT h, j, h AS dh, CAST(0 AS BIGINT) AS dj FROM pages$suffix
-         |    UNION ALL SELECT h, j, h, 2*j+1 FROM pages$suffix WHERE 2*j+1 < n
-         |    UNION ALL SELECT h, j, h, 2*j+2 FROM pages$suffix WHERE 2*j+2 < n
-         |    UNION ALL SELECT h, j, h, (j-1)//2 FROM pages$suffix WHERE j >= 3
-         |    UNION ALL SELECT h, j, (h + j//3) % ${sizes.length}, CAST(0 AS BIGINT)
-         |      FROM pages$suffix WHERE j % 3 = 0 AND j > 0 AND (h + j//3) % ${sizes.length} <> h
-         |  )
-         |),
+      s""",
          |deg$suffix AS MATERIALIZED (
          |  SELECT src, count(*) AS deg FROM edges$suffix GROUP BY src
-         |),
-         |nodes$suffix AS MATERIALIZED (
-         |  SELECT DISTINCT id FROM (
-         |    SELECT src AS id FROM edges$suffix
-         |    UNION ALL SELECT dst FROM edges$suffix)
          |),
          |r0$suffix AS (SELECT id, CAST($init AS BIGINT) AS r FROM nodes$suffix)""".stripMargin)
     (1 to iters).foreach { k =>
@@ -1886,6 +2049,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q24_crawl_bsp" -> q24OracleSql,
     "q44_link_pagerank" -> q44PrSql,
+    "q74_link_hits" -> q74HitsSql,
 
     // connected components resolved the orthodox SQL way (recursive-CTE
     // transitive closure to the min reachable id) over the SAME closed-form
@@ -3029,6 +3193,54 @@ object SparkEntry {
         |  END AS suffix
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // closed-form PLD collapse (q75 query comment): both endpoints' plds
+    // are CASE expressions in doc_id; the aggregate replays in SQL
+    "q75_domain_graph" ->
+      """WITH e AS (
+        |  SELECT
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'site' || (doc_id % 40) || '.com'
+        |      WHEN 1 THEN 'blog' || (doc_id % 40) || '.co.uk'
+        |      WHEN 2 THEN 'user' || (doc_id % 40) || '.github.io'
+        |      ELSE 'shop' || (doc_id % 40) || '.blogspot.com'
+        |    END AS src_pld,
+        |    CASE (doc_id + 1) % 4
+        |      WHEN 0 THEN 'site' || ((doc_id * 7 + 3) % 40) || '.com'
+        |      WHEN 1 THEN 'blog' || ((doc_id * 7 + 3) % 40) || '.co.uk'
+        |      WHEN 2 THEN 'user' || ((doc_id * 7 + 3) % 40) || '.github.io'
+        |      ELSE 'shop' || ((doc_id * 7 + 3) % 40) || '.blogspot.com'
+        |    END AS dst_pld,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'www.site' || (doc_id % 40) || '.com'
+        |      WHEN 1 THEN 'news.blog' || (doc_id % 40) || '.co.uk'
+        |      WHEN 2 THEN 'user' || (doc_id % 40) || '.github.io'
+        |      ELSE 'shop' || (doc_id % 40) || '.blogspot.com'
+        |    END AS src_host
+        |  FROM documents
+        |)
+        |SELECT src_pld, dst_pld, CAST(count(*) AS BIGINT) AS links,
+        |  CAST(count(DISTINCT src_host) AS BIGINT) AS src_hosts
+        |FROM e GROUP BY src_pld, dst_pld
+        |ORDER BY src_pld, dst_pld""".stripMargin,
+
+    // exact-rank tertiles (q76 query comment): the oracle may use a window
+    // at its scale; rank = row_number()-1 over the same (score, doc_id)
+    // total order, bucket by integer comparison
+    "q76_rank_buckets" ->
+      """WITH scored AS (
+        |  SELECT doc_id, (doc_id * 37) % 101 AS score FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, score,
+        |    CAST(row_number() OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS rank,
+        |    (SELECT count(*) FROM scored) AS n
+        |  FROM scored
+        |)
+        |SELECT doc_id, score, rank,
+        |  CASE WHEN rank * 3 < n THEN 'head'
+        |       WHEN rank * 3 < n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
     "q16_url_normalize" ->
       """SELECT doc_id,
         |  'https://host' || (doc_id % 40) || '.example.test/Path' || (doc_id % 7) || '/page?a=1&b=2' AS url_norm,
@@ -3123,6 +3335,15 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS est_jaccard
         |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY delta_id, index_id""".stripMargin,
+
+    // closed-form replay of the planted BPE segmentations (q73 comment)
+    "q73_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2
+        |    ELSE 3 END AS BIGINT) AS n_tokens,
+        |  CASE doc_id % 4 WHEN 0 THEN 'abc abc' WHEN 1 THEN 'ab xy'
+        |    WHEN 2 THEN 'c ab' ELSE 'z q ab' END AS encoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // planted simhash pairs (q19 query comment): kept groups g%4<>1 are
     // identical texts -> hamming 0

@@ -107,6 +107,81 @@ object Bpe {
       .select(col("merge_rank"), col("left"), col("right"), col("pair_count"))
   }
 
+  /**
+   * ENCODE: apply a learned merge list to a corpus — the tokenizer-apply
+   * half of the train/apply pair (learnMerges is train). Returns
+   * `(idCol, toks array<string>)`; callers project `size(toks)` for the
+   * token counts that [[Pack]]/[[Mixture]] budget against, or keep the
+   * sequence for shard assembly.
+   *
+   * Per-word semantics are the standard BPE encoder loop: repeatedly find
+   * the adjacent pair with the LOWEST merge rank present in the word and
+   * merge ALL its non-overlapping occurrences (same [[applyMerge]] kernel
+   * as training), until no ranked pair remains. The re-scan matters: a
+   * later-rank merge can create an earlier-rank pair, which a single
+   * in-order sweep would miss (covered in BpeSpec).
+   *
+   * Scale shape (100 TB): a pure per-row kernel scan — zero shuffles. The
+   * merge table (vocab-sized, ~50k rows) ships once per executor as a
+   * broadcast rank map, and a per-PARTITION word→tokens cache exploits
+   * Zipf (the head of the word distribution encodes once per task, not
+   * once per occurrence). Corpus text never moves.
+   */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], wordCacheSize: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case ((l, r), i) => (l, r) -> i }.toMap)
+    val inSchema = docs.select(col(idCol), col(textCol).cast("string")).schema
+    val outSchema = StructType(Seq(
+      inSchema.head,
+      StructField("toks", ArrayType(StringType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { it =>
+        val rk = ranks.value
+        val cache = new java.util.HashMap[String, Array[String]]()
+        it.map { row =>
+          val text = if (row.isNullAt(1)) "" else row.getString(1)
+          val out = Array.newBuilder[String]
+          text.split("\\s+").foreach { w =>
+            if (w.nonEmpty) {
+              var e = cache.get(w)
+              if (e == null) {
+                e = encodeWord(w, rk)
+                if (cache.size < wordCacheSize) cache.put(w, e)
+              }
+              out ++= e
+            }
+          }
+          Row(row.get(0), out.result().toSeq)
+        }
+      }(enc)
+  }
+
+  /** One word through the lowest-rank-pair loop (see [[encode]]).
+    * Array-backed throughout — the scan indexes every position each round. */
+  private[pipeline] def encodeWord(w: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = w.toCharArray.map(_.toString)
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bl: String = null; var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bl == null) done = true
+      else {
+        syms = applyMerge(scala.collection.immutable.ArraySeq.unsafeWrapArray(syms), bl, br).toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
   /** Greedy left-to-right non-overlapping merge of adjacent (l, r). */
   private[pipeline] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = Seq.newBuilder[String]

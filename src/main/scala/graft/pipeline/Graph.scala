@@ -359,4 +359,81 @@ object Graph {
     }
     r.select($"id", $"r".as("rank_fp"))
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) as an integer fixed point —
+   * the link-graph twin of [[pageRankFixedPoint]]: authorities score what
+   * good hubs point AT (content worth keeping), hubs score what points at
+   * good authorities (index/portal pages a curation pass usually drops) —
+   * a useful per-page prior for corpus filtering that PageRank alone
+   * doesn't give (a link-farm hub earns hub mass but no authority).
+   *
+   * Exact integer recurrence (all divisions integer `div`, mirrored by
+   * `//` in the DuckDB oracle; h0 = scale for every node):
+   *
+   *   araw_k(v) = Σ_{u→v} h_{k-1}(u)
+   *   a_k(v)    = araw_k(v) div max(Σ araw_k div scale, 1)
+   *   hraw_k(u) = Σ_{u→v} a_k(v)
+   *   h_k(u)    = hraw_k(u) div max(Σ hraw_k div scale, 1)
+   *
+   * The sum-normalization replaces the classic L2 norm: it keeps the
+   * total mass ≈ scale (so 64-bit products stay bounded — araw ≤ Σh ≈
+   * scale·maxdeg ≪ 2^63) while preserving the ranking, and integer sums
+   * make every round bit-identical under any partitioning/retry.
+   *
+   * Scale shape: each half-round is ONE join+partial-agg shuffle over the
+   * edge table (the PageRank shape); the normalizer is a 1-row aggregate
+   * frame crossJoined back in — part of the lazy plan, never a per-round
+   * driver action. Rounds are re-rooted via [[Checkpoints.step]] so the
+   * Catalyst plan stays constant-size over any iteration count.
+   */
+  def hitsFixedPoint(
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+
+    val e = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .transform(stepCheckpoint)
+    val nodes = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id")))
+      .distinct()
+      .transform(stepCheckpoint)
+    require(nodes.count() > 0, "hitsFixedPoint: empty graph")
+
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum($"raw").as("tot"))
+      raw.crossJoin(tot)
+        .select($"id", expr(s"raw div greatest(tot div $scale, 1)").as(outCol))
+        .transform(stepCheckpoint)
+    }
+    def halfRound(score: DataFrame, scoreCol: String,
+        from: String, to: String, outCol: String): DataFrame = {
+      val raw = e.join(score, e(from) === score("id"))
+        .select(col(to).as("nid"), col(scoreCol))
+        .groupBy($"nid").agg(sum(col(scoreCol)).as("s"))
+      normalize(
+        nodes.join(raw, nodes("id") === raw("nid"), "left")
+          .select($"id", coalesce($"s", lit(0L)).as("raw")),
+        outCol)
+    }
+
+    var h = nodes.select($"id", lit(scale).as("h")).transform(stepCheckpoint)
+    var a: DataFrame = null
+    var k = 0
+    while (k < iterations) {
+      val aNext = halfRound(h, "h", "src", "dst", "a")
+      if (reliable && a != null) dropCheckpoint(a)
+      a = aNext
+      val hNext = halfRound(a, "a", "dst", "src", "h")
+      if (reliable) dropCheckpoint(h)
+      h = hNext
+      k += 1
+    }
+    a.join(h, "id").select($"id", $"a".as("auth_fp"), $"h".as("hub_fp"))
+  }
 }

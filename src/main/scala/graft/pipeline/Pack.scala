@@ -75,4 +75,45 @@ object Pack {
     spark.createDataFrame(packed)
       .toDF(idCol, "tokens", "offset_tokens", "shard")
   }
+
+  /** Exact 0-based GLOBAL RANK of every row over the total order given by
+    * `orderCols` (the tuple must be duplicate-free or ranks are
+    * nondeterministic between equal rows) — same windowless machinery as
+    * [[shardByBudget]] with unit weights: range-repartition on the order
+    * key, materialize once, per-partition row counts (P longs to the
+    * driver), broadcast exclusive offsets, emit offset+position in a
+    * second kernel pass. Never a single-partition window; rank values are
+    * invariant to where the sampled range boundaries fall.
+    *
+    * This is the scale-safe spine of any exact quantile/NTILE-style split
+    * (CCNet's head/middle/tail perplexity buckets, q76): bucket =
+    * `rank * k div N` needs only this rank and the total count. */
+  def globalRank(df: DataFrame, orderCols: Seq[String],
+      rankCol: String = "rank", partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = Checkpoints.step(
+      df.repartitionByRange(parts, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*))
+    val counts = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ob = spark.sparkContext.broadcast(offsets)
+    val outSchema = base.schema.add(rankCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    // same indexing contract as shardByBudget: the CHECKPOINTED rdd's own
+    // partition index, never TaskContext.getPartitionId
+    val ranked = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = ob.value(pid)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ run)
+        run += 1
+        r
+      }
+    }
+    spark.createDataFrame(ranked, outSchema)
+  }
 }

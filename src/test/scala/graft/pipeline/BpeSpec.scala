@@ -58,4 +58,36 @@ class BpeSpec extends AnyFunSuite {
     // 'r e' appears in 80 word instances (word 're' count 80)
     assert(out(0) == (("r", "e", 80L)))
   }
+
+  test("encodeWord: lowest-rank pair first, re-scan after each merge") {
+    val ranks = Map(("a", "b") -> 0, ("ab", "c") -> 1, ("x", "y") -> 2)
+    assert(Bpe.encodeWord("abc", ranks).toSeq == Seq("abc"))
+    assert(Bpe.encodeWord("abxy", ranks).toSeq == Seq("ab", "xy"))
+    assert(Bpe.encodeWord("cab", ranks).toSeq == Seq("c", "ab"))
+    assert(Bpe.encodeWord("zq", ranks).toSeq == Seq("z", "q"))
+    assert(Bpe.encodeWord("", ranks).toSeq == Seq())
+    // a later-rank merge creating an EARLIER-rank pair must still fire:
+    // ranks (ab,c)=0, (a,b)=1 on "abc": only (a,b) is present first ->
+    // merge to [ab, c], which NOW contains rank-0 (ab, c) -> [abc].
+    // A single in-order sweep would stop at [ab, c].
+    val r2 = Map(("ab", "c") -> 0, ("a", "b") -> 1)
+    assert(Bpe.encodeWord("abc", r2).toSeq == Seq("abc"))
+  }
+
+  test("encode: train then apply round-trips the training corpus") {
+    val corpus = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+      ).mkString(" ")
+    val merges = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", merges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = Seq((1L, "hug pun hugs"), (2L, "bun pug zap"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // learned: ug, un, h+ug=hug, p+un=pun
+    assert(out(1L) == Seq("hug", "pun", "hug", "s"))
+    assert(out(2L) == Seq("b", "un", "p", "ug", "z", "a", "p"))
+    assert(out(3L) == Seq())
+  }
 }

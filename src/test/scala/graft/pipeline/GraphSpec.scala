@@ -204,6 +204,54 @@ class GraphSpec extends AnyFunSuite {
     r
   }
 
+  private def seqHits(edges: Seq[(Long, Long)], iterations: Int,
+      scale: Long = 1000000000000L): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val d = math.max(raw.values.sum / scale, 1L)
+      raw.map { case (k, v) => k -> v / d }
+    }
+    (1 to iterations).foreach { _ =>
+      val araw = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (s, d) => araw(d) += h(s) }
+      a = norm(nodes.map(v => v -> araw(v)).toMap)
+      val hraw = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (s, d) => hraw(s) += a(d) }
+      h = norm(nodes.map(v => v -> hraw(v)).toMap)
+    }
+    nodes.map(v => v -> ((a(v), h(v)))).toMap
+  }
+
+  test("hitsFixedPoint matches the sequential recurrence exactly") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 11L)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (Seq.fill(400)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) ++
+        (0L until 80L).map(i => (i, (i * 5 + 2) % 80))).distinct
+      val expected = seqHits(edges, 5)
+      val got = Graph.hitsFixedPoint(edges.toDF("s", "d"), "s", "d", iterations = 5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("hitsFixedPoint: partitioning invariance and hub/authority separation") {
+    import spark.implicits._
+    // bipartite hub->authority fan: hubs 1..5 each link authorities 11..13
+    val edges = for (h <- 1L to 5L; t <- 11L to 13L) yield (h, t)
+    val base = Graph.hitsFixedPoint(edges.toDF("s", "d"), "s", "d", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val repart = Graph.hitsFixedPoint(edges.toDF("s", "d").repartition(7), "s", "d", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(base == repart, "bit-identical under repartitioning")
+    // authorities earn authority mass and zero hub mass; hubs the reverse
+    assert((11L to 13L).forall(t => base(t)._1 > 0 && base(t)._2 == 0))
+    assert((1L to 5L).forall(h => base(h)._1 == 0 && base(h)._2 > 0))
+  }
+
   test("pageRankFixedPoint matches the sequential recurrence exactly") {
     import spark.implicits._
     for (seed <- Seq(2L, 9L)) {

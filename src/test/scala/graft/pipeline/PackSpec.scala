@@ -74,4 +74,20 @@ class PackSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 5L, 1L)))
   }
+
+  test("globalRank: exact ranks over (score, id), invariant to partitioning, no Window") {
+    val rows = (0L until 500L).map(i => (i, (i * 37) % 101))
+    val expected = rows.sortBy { case (id, s) => (s, id) }
+      .zipWithIndex.map { case ((id, _), r) => id -> r.toLong }.toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val ranked = Pack.globalRank(
+        rows.toDF("id", "score").repartition(parts), Seq("score", "id"))
+      assert(ranked.queryExecution.executedPlan.toString.indexOf("Window") < 0)
+      val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // empty frame
+    assert(Pack.globalRank(Seq.empty[(Long, Long)].toDF("id", "score"),
+      Seq("score", "id")).count() == 0)
+  }
 }
