@@ -55,6 +55,12 @@ object PlanAudit {
       "q65_canonical_clusters" -> "the parse+resolve kernel runs BELOW the key exchange: only narrow (url, canonical) rows shuffle for the cluster aggregate and member join — page HTML never moves",
       "q66_charset_decode"   -> "pure per-row sniff+decode kernel over the scan — zero exchange before the ordered output",
       "q67_bpe_merges"       -> "the returned frame is the bounded driver-side merge list (LocalTableScan — one row per merge by design); the work ran in the per-round jobs: ONE corpus-sized word-count shuffle up front, then per merge a partial-combined pair aggregate over the checkpointed unique-word table ending in a LIMIT-1 TakeOrdered",
+      "q71_registrable_domain" -> "PSL matcher as a pure kernel projection — no exchange before the ordered output",
+      "q72_incremental_neardup" -> "only the delta batch is shingled/signed; the banded index side joins on (band, bucket) with the delta build side — corpus text appears nowhere in the plan",
+      "q73_bpe_encode"       -> "encode is one kernel pass (broadcast rank map, per-partition word cache) — zero exchange before the ordered output",
+      "q74_link_hits"        -> "the visible plan is the LAST half-round (join + partial-agg + the 1-row normalizer crossJoin) over checkpointed roots — constant Catalyst size over any iteration count, the q44 property",
+      "q75_domain_graph"     -> "PLD collapse below the single map-side-combined aggregate exchange; countDistinct adds its standard two-phase expand, never a second scan",
+      "q76_rank_buckets"     -> "exact global rank with NO Window operator: checkpointed range partitioning + broadcast offsets (the q50 machinery), bucket as an integer-comparison projection",
       "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate")
 
     val sb = new StringBuilder
