@@ -182,7 +182,8 @@ final class CrawlEngine(
         val h = UrlOps.host(s)
         val robotsOk = !c.respectRobots ||
           robotsRules.get(h).forall(r => Robots.allowedUrl(r, c.userAgent, s))
-        if (robotsOk) Some(FrontierEntry(c.jobId, s, norm, h, 0, i.toLong, "", 0)) else None
+        if (robotsOk) Some(FrontierEntry(c.jobId, s, norm, h, 0,
+          c.priorityOf.map(f => f(norm)).getOrElse(i.toLong), "", 0)) else None
       }
     }.distinct
     if (settings.seenFilter == "driver")
@@ -906,7 +907,9 @@ final class CrawlEngine(
                     traps.contains(graft.frontier.Traps.familyKey(c.jobId, norm)))
                   None
                 else Some(FrontierEntry(c.jobId, c.childUrl, norm, h,
-                  nd, c.seq * 4096L + math.min(c.idx, 4095L), c.parentUrl, 0))
+                  nd, cfg.priorityOf.map(f => f(norm))
+                    .getOrElse(c.seq * 4096L + math.min(c.idx, 4095L)),
+                  c.parentUrl, 0))
               }
             }
           }

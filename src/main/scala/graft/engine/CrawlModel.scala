@@ -114,7 +114,20 @@ final case class CrawlConfig(
     // exact unless a job opts in. Filtering happens in the extract kernel,
     // so an opted-in job's `links` format reports followable links only —
     // the same set the frontier expands (one definition, no divergence).
-    honorNofollow: Boolean = false) {
+    honorNofollow: Boolean = false,
+    // rank-guided frontier (the north-star "priority frontier" in its
+    // opt-in general form): when set, a FRESH frontier entry's priority is
+    // priorityOf(urlNorm) instead of FIFO discovery order — e.g. negated
+    // PageRank fixed-point ranks (Graph.pageRankFixedPoint) or OPIC cash,
+    // precomputed from a prior crawl's link graph. Canonical order stays
+    // (depth ASC, priority ASC, urlNorm ASC): lower value = fetched
+    // earlier within its depth; determinism and resume are unchanged
+    // because priority is materialized in the frontier rows (retries keep
+    // theirs). The function ships in task closures — it must be
+    // serializable and PURE; at deployment scale back it with a broadcast
+    // (urlNorm -> rank) map, with a constant default for unranked URLs.
+    // None = FIFO (the default, reference-exact traces).
+    priorityOf: Option[String => Long] = None) {
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */

@@ -36,7 +36,9 @@ object SequentialOracle {
         val h = UrlOps.host(s)
         val ok = !c.respectRobots || robots.get(h).forall(r => Robots.allowedUrl(r, c.userAgent, s))
         if (ok) {
-          val e = FrontierEntry(c.jobId, s, UrlOps.normalize(s), h, 0, i.toLong, "", 0)
+          val norm = UrlOps.normalize(s)
+          val e = FrontierEntry(c.jobId, s, norm, h, 0,
+            c.priorityOf.map(f => f(norm)).getOrElse(i.toLong), "", 0)
           if (!seen.contains((e.jobId, e.urlNorm))) {
             pending += e; seen += ((e.jobId, e.urlNorm)); n += 1
           }
@@ -119,9 +121,12 @@ object SequentialOracle {
                   val perPageOk = !(c.limit > 0) || idx < c.limit
                   val h = UrlOps.host(child)
                   val robotsOk = !c.respectRobots || robots.get(h).forall(r => Robots.allowedUrl(r, c.userAgent, child))
-                  if (inScope && included && !excluded && perPageOk && robotsOk)
-                    candidates += FrontierEntry(e.jobId, child, UrlOps.normalize(child), h,
-                      nd, seq * 4096L + math.min(idx, 4095L), e.url, 0)
+                  if (inScope && included && !excluded && perPageOk && robotsOk) {
+                    val norm = UrlOps.normalize(child)
+                    candidates += FrontierEntry(e.jobId, child, norm, h,
+                      nd, c.priorityOf.map(f => f(norm))
+                        .getOrElse(seq * 4096L + math.min(idx, 4095L)), e.url, 0)
+                  }
                 }
               }
             case None =>
