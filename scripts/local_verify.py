@@ -20,8 +20,10 @@ def norm(v):
 
 def table_rows(tbl):
     cols = sorted(tbl.column_names)
+    if not cols:
+        return cols, []
     data = [tbl.column(c).to_pylist() for c in cols]
-    return cols, [tuple(norm(x) for x in row) for row in zip(*data)] if data else (cols, [])
+    return cols, [tuple(norm(x) for x in row) for row in zip(*data)]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]

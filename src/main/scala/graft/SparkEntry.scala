@@ -1130,11 +1130,12 @@ object SparkEntry {
     "q76_rank_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), pmod(col("doc_id") * 37, lit(101)).as("score"))
-      val total = docs.count()
-      graft.pipeline.Pack.globalRank(docs, Seq("score", "doc_id"))
+      // total rides out of globalRank's own counts pass — no second scan
+      graft.pipeline.Pack.globalRank(docs, Seq("score", "doc_id"),
+          totalCol = Some("n"))
         .withColumn("bucket", // pure integer comparisons — no float division
-          when(col("rank") * 3 < total, "head")
-            .when(col("rank") * 3 < total * 2, "middle")
+          when(col("rank") * 3 < col("n"), "head")
+            .when(col("rank") * 3 < col("n") * 2, "middle")
             .otherwise("tail"))
         .select(col("doc_id"), col("score"), col("rank"), col("bucket"))
         .orderBy(col("doc_id"))
@@ -1931,7 +1932,9 @@ object SparkEntry {
     sb.append(siteGraphCtes(pages, suffix, guard))
     sb.append(
       s""",
-         |h0$suffix AS (SELECT id, CAST($scale AS BIGINT) AS h FROM nodes$suffix)""".stripMargin)
+         |h0$suffix AS (SELECT id,
+         |  CAST($scale // (SELECT count(*) FROM nodes$suffix) AS BIGINT) AS h
+         |  FROM nodes$suffix)""".stripMargin)
     (1 to q74Iters).foreach { k =>
       val p = k - 1
       sb.append(

@@ -110,27 +110,7 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
-    // Materialize the signature once and cache it: Catalyst's project
-    // collapsing would otherwise inline the full shingle pipeline into each
-    // of the `numHashes` hash lanes AND recompute it for both sides of the
-    // LSH self-join (a ~1 MB codegen'd stage executed 2x per row). The
-    // cached frame is tiny — (id, numHashes longs) — and at warehouse scale
-    // it is the table you'd persist as the signature index anyway.
-    // The shingle cache is load-bearing: without it, ProjectCollapsing
-    // inlines the shingle pipeline into every one of the `numHashes` hash
-    // lanes (measured 30x slowdown at 32 hashes).
-    val shingleUdf = udf((t: String) => shingleHashArray(t, shingleSize))
-    val sigUdf = udf((hs: Seq[Long]) => minhashFromHashes(hs.toArray, numHashes))
-    val sh = df
-      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("shh"))
-      .filter(size(col("shh")) > 0)
-      .cache()
-    val sig = sh
-      .select(col("id"), sigUdf(col("shh")).as("sig"))
-      .filter(size(col("sig")) === numHashes)
-      .cache()
-
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
     val banded = lshBands(sig, numHashes, bands)
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -149,15 +129,22 @@ object Dedup {
   }
 
   /** (id, sig) MinHash signature frame — the TABLE you persist as the
-    * corpus's near-dup index (one row per doc, `numHashes` longs). The
-    * signature is computed once per doc and cached (see the
-    * ProjectCollapsing note in [[minhashLshPairs]]). */
+    * corpus's near-dup index (one row per doc, `numHashes` longs), and the
+    * shared spine of [[minhashLshPairs]] and [[incrementalNearDup]].
+    *
+    * Both intermediates are cached and that is load-bearing: without the
+    * shingle cache, Catalyst's ProjectCollapsing inlines the full shingle
+    * pipeline into every one of the `numHashes` hash lanes (measured 30x
+    * slowdown at 32 hashes) — and without the signature cache the chain
+    * recomputes for both sides of the LSH self-join. The cached frames are
+    * tiny — (id, shingle hashes) / (id, numHashes longs). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
     val shingleUdf = udf((t: String) => shingleHashArray(t, shingleSize))
     val sigUdf = udf((hs: Seq[Long]) => minhashFromHashes(hs.toArray, numHashes))
     df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("shh"))
       .filter(size(col("shh")) > 0)
+      .cache()
       .select(col("id"), sigUdf(col("shh")).as("sig"))
       .filter(size(col("sig")) === numHashes)
       .cache()

@@ -369,7 +369,9 @@ object Graph {
    * doesn't give (a link-farm hub earns hub mass but no authority).
    *
    * Exact integer recurrence (all divisions integer `div`, mirrored by
-   * `//` in the DuckDB oracle; h0 = scale for every node):
+   * `//` in the DuckDB oracle; h0 = scale div n for every node, the
+   * PageRank-style init that keeps the first round's sums bounded by
+   * mass·avgdeg rather than scale·|E|):
    *
    *   araw_k(v) = Σ_{u→v} h_{k-1}(u)
    *   a_k(v)    = araw_k(v) div max(Σ araw_k div scale, 1)
@@ -377,9 +379,16 @@ object Graph {
    *   h_k(u)    = hraw_k(u) div max(Σ hraw_k div scale, 1)
    *
    * The sum-normalization replaces the classic L2 norm: it keeps the
-   * total mass ≈ scale (so 64-bit products stay bounded — araw ≤ Σh ≈
-   * scale·maxdeg ≪ 2^63) while preserving the ranking, and integer sums
+   * total mass ≈ scale while preserving the ranking, and integer sums
    * make every round bit-identical under any partitioning/retry.
+   *
+   * 64-bit bound: after normalization every score ≤ mass ≈ scale, so a
+   * node's raw next-round value is ≤ its degree · scale and the global
+   * sum is ≤ maxdeg · scale. That product is CHECKED up front (one cheap
+   * degree aggregate): graphs whose maximum in/out degree exceeds
+   * 2^61 / scale are rejected loudly with instructions to lower `scale`
+   * (at scale = 1e9 the guard admits hub degrees to ~2.3e9) — a silent
+   * wrap would invert rankings.
    *
    * Scale shape: each half-round is ONE join+partial-agg shuffle over the
    * edge table (the PageRank shape); the normalizer is a 1-row aggregate
@@ -402,7 +411,16 @@ object Graph {
       .union(e.select($"dst".as("id")))
       .distinct()
       .transform(stepCheckpoint)
-    require(nodes.count() > 0, "hitsFixedPoint: empty graph")
+    val n = nodes.count()
+    require(n > 0, "hitsFixedPoint: empty graph")
+    require(iterations >= 1, s"hitsFixedPoint: iterations must be >= 1, got $iterations")
+    // overflow guard (see scaladoc): raw sums are bounded by maxdeg * scale
+    val maxDeg = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).head().getLong(0)
+    require(maxDeg <= (Long.MaxValue >> 2) / scale,
+      s"hitsFixedPoint: max degree $maxDeg * scale $scale risks 64-bit overflow — " +
+        "lower `scale` (e.g. 1e9) for extreme-skew graphs")
 
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
@@ -422,7 +440,7 @@ object Graph {
         outCol)
     }
 
-    var h = nodes.select($"id", lit(scale).as("h")).transform(stepCheckpoint)
+    var h = nodes.select($"id", lit(scale / n).as("h")).transform(stepCheckpoint)
     var a: DataFrame = null
     var k = 0
     while (k < iterations) {

@@ -89,7 +89,8 @@ object Pack {
     * (CCNet's head/middle/tail perplexity buckets, q76): bucket =
     * `rank * k div N` needs only this rank and the total count. */
   def globalRank(df: DataFrame, orderCols: Seq[String],
-      rankCol: String = "rank", partitions: Int = 0): DataFrame = {
+      rankCol: String = "rank", partitions: Int = 0,
+      totalCol: Option[String] = None): DataFrame = {
     require(orderCols.nonEmpty, "globalRank needs at least one order column")
     val spark = df.sparkSession
     val parts = if (partitions > 0) partitions
@@ -102,6 +103,10 @@ object Pack {
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val ob = spark.sparkContext.broadcast(offsets)
+    // offsets.last IS the total row count — callers that need N for a
+    // quantile rule get it as a literal column instead of a second scan
+    val withTotal = (d: DataFrame) =>
+      totalCol.fold(d)(c => d.withColumn(c, lit(offsets.last)))
     val outSchema = base.schema.add(rankCol,
       org.apache.spark.sql.types.LongType, nullable = false)
     // same indexing contract as shardByBudget: the CHECKPOINTED rdd's own
@@ -114,6 +119,6 @@ object Pack {
         r
       }
     }
-    spark.createDataFrame(ranked, outSchema)
+    withTotal(spark.createDataFrame(ranked, outSchema))
   }
 }

@@ -208,7 +208,7 @@ class GraphSpec extends AnyFunSuite {
       scale: Long = 1000000000000L): Map[Long, (Long, Long)] = {
     val e = edges.distinct
     val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct.sorted
-    var h = nodes.map(_ -> scale).toMap
+    var h = nodes.map(_ -> scale / nodes.size).toMap
     var a = Map.empty[Long, Long]
     def norm(raw: Map[Long, Long]): Map[Long, Long] = {
       val d = math.max(raw.values.sum / scale, 1L)
