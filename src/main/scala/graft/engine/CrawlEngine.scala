@@ -541,13 +541,15 @@ final class CrawlEngine(
               CrawlEngine.effectiveBudget(cfg, robots, base, h))
             val staged = scala.collection.mutable.ArrayBuffer[(Long, FrontierEntry)]()
             sorted.foreach { e =>
-              val budget = budgetOf(e.host)
+              // group key = host, or eTLD+1 under politenessByDomain
+              val pk = CrawlEngine.politeKey(cfg, e.host)
+              val budget = budgetOf(pk)
               val cap =
                 if (budget >= Int.MaxValue.toLong) Long.MaxValue
                 else budget * wavesJ
-              val c = hostN.getOrElse(e.host, 0L)
+              val c = hostN.getOrElse(pk, 0L)
               if (c < cap) {
-                hostN(e.host) = c + 1
+                hostN(pk) = c + 1
                 staged += (((if (budget >= Int.MaxValue.toLong) 0L else c / budget), e))
               }
             }
@@ -582,24 +584,29 @@ final class CrawlEngine(
             // Crawl-delay quota when the job opted in. The opted-out path
             // (epoch <= 0, every existing caller) is a single branch to the
             // broadcast map — byte-identical budgets to the round-2 plan.
-            val budgetCol = udf((j: String, h: String) =>
-              CrawlEngine.effectiveBudget(cfgBv.value(j), robBv.value, bb.value(j), h))
-              .apply($"jobId", $"host")
-            val capCol = udf { (j: String, h: String) =>
-              val b = CrawlEngine.effectiveBudget(cfgBv.value(j), robBv.value, bb.value(j), h)
+            // group key = host, or eTLD+1 under politenessByDomain (the
+            // same politeKey both the fast path and the oracle use)
+            val keyCol = udf((j: String, h: String) =>
+              CrawlEngine.politeKey(cfgBv.value(j), h)).apply($"jobId", $"host")
+            val budgetCol = udf((j: String, k: String) =>
+              CrawlEngine.effectiveBudget(cfgBv.value(j), robBv.value, bb.value(j), k))
+              .apply($"jobId", $"__pk")
+            val capCol = udf { (j: String, k: String) =>
+              val b = CrawlEngine.effectiveBudget(cfgBv.value(j), robBv.value, bb.value(j), k)
               if (b >= Int.MaxValue.toLong) Long.MaxValue else b * wb.value(j)
-            }.apply($"jobId", $"host")
-            val w2 = Window.partitionBy($"jobId", $"host").orderBy(ordCols: _*)
+            }.apply($"jobId", $"__pk")
+            val w2 = Window.partitionBy($"jobId", $"__pk").orderBy(ordCols: _*)
             val salt = pmod(xxhash64($"urlNorm"), lit(settings.saltBuckets))
-            val w1 = Window.partitionBy($"jobId", $"host", salt).orderBy(ordCols: _*)
+            val w1 = Window.partitionBy($"jobId", $"__pk", salt).orderBy(ordCols: _*)
             pend.toDF()
+              .withColumn("__pk", keyCol)
               .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= capCol).drop("__r1")
               .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= capCol)
               .withColumn("__b", budgetCol)
               .withColumn("__wave",
                 when($"__b" >= Int.MaxValue.toLong, 0L)
                   .otherwise(expr("(CAST(__r2 AS BIGINT) - 1L) div __b")))
-              .drop("__r2", "__b")
+              .drop("__r2", "__b", "__pk")
           }
         val waveOrd = col("__wave") +: ordCols
         val batchDf =
@@ -1253,6 +1260,12 @@ object CrawlEngine {
     * inside task closures (never captures the engine). Cost when opted in
     * is one robots-group scan per lookup; callers on the hot small-step
     * path memoize per host. */
+  /** Politeness grouping key: hostname, or eTLD+1 when the job opted into
+    * site-granular budgets (CrawlConfig.politenessByDomain). Used by BOTH
+    * schedule paths and the sequential oracle — one definition. */
+  private[engine] def politeKey(cfg: CrawlConfig, host: String): String =
+    if (cfg.politenessByDomain) graft.core.Psl.snapshot.registrable(host) else host
+
   private[engine] def effectiveBudget(cfg: CrawlConfig,
       robots: Map[String, graft.core.Robots.RobotRules],
       base: Long, host: String): Long =

@@ -127,7 +127,19 @@ final case class CrawlConfig(
     // serializable and PURE; at deployment scale back it with a broadcast
     // (urlNorm -> rank) map, with a constant default for unranked URLs.
     // None = FIFO (the default, reference-exact traces).
-    priorityOf: Option[String => Long] = None) {
+    priorityOf: Option[String => Long] = None,
+    // politeness grouping at SITE granularity: when on, the per-step fetch
+    // budget is keyed by the registrable domain (core/Psl eTLD+1) instead
+    // of the hostname — a crawler that hits a.shop.example and
+    // b.shop.example concurrently is still hammering one site (and one
+    // origin server, usually). Grouping only: canonical order, waves and
+    // the limit cut are unchanged. The robots Crawl-delay quota is then
+    // looked up by the group key too (domain-granular approximation —
+    // host-granular delay composition needs host mode). Off by default:
+    // the reference's Crawlee politeness is per-host (its
+    // maxConcurrency/sameDomainDelay operate on the queue's unique-key
+    // host), so traces stay reference-exact unless a job opts in.
+    politenessByDomain: Boolean = false) {
 
   /** Scope keys of the seed set, precomputed once on the driver and shipped
     * in the closure (P2: strategy filter). */

@@ -1,0 +1,84 @@
+package graft.engine
+
+import graft.core.UrlOps
+import graft.fixtures.SiteGen
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Opt-in site-granular politeness (CrawlConfig.politenessByDomain): the
+  * per-step budget groups by registrable domain (Psl eTLD+1) instead of
+  * hostname — two subdomains of one site share a budget. Default off keeps
+  * host-granular, reference-exact scheduling (all other engine specs). */
+class PolitenessDomainSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("politeness-domain-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+  private def page(url: String, body: String): SiteGen.PageRow =
+    SiteGen.PageRow(url, ts, body.getBytes("UTF-8"), "", "en")
+
+  // seed fans out to two subdomains of siteA plus one host of siteB. With
+  // hostBudgetPerStep = 1: host mode fetches all three in one superstep
+  // (distinct hosts) -> canonical order [a., b., c.]; domain mode admits one
+  // siteA row per step -> b.sitea defers a generation, order [a., c., b.].
+  private lazy val corpus: Seq[SiteGen.PageRow] = Seq(
+    page("https://a.sitea.test/",
+      """<html><body>
+        |<a href="https://a.sitea.test/p">ap</a>
+        |<a href="https://b.sitea.test/p">bp</a>
+        |<a href="https://c.siteb.test/p">cp</a>
+        |</body></html>""".stripMargin),
+    page("https://a.sitea.test/p", "<html><body>ap</body></html>"),
+    page("https://b.sitea.test/p", "<html><body>bp</body></html>"),
+    page("https://c.siteb.test/p", "<html><body>cp</body></html>"))
+
+  private def settings = CrawlEngine.Settings(
+    bloomShards = 2, bloomExpectedPerShard = 10000L, bloomFpp = 0.01,
+    saltBuckets = 8)
+
+  private def cfg(job: String, byDomain: Boolean) = CrawlConfig(job,
+    Seq("https://a.sitea.test/"), strategy = "all", limit = 100, maxDepth = 2,
+    hostBudgetPerStep = 1, politenessByDomain = byDomain)
+
+  private def run(job: String, byDomain: Boolean,
+      forceWidePath: Boolean = false): Seq[String] = {
+    val s = spark; import s.implicits._
+    val st = if (forceWidePath) settings.copy(fastExpandMaxPend = 0L) else settings
+    val e = new CrawlEngine(spark, s.createDataset(corpus).toDF(),
+      Files.createTempDirectory("poldom").toString, Map.empty, st)
+    e.run(Seq(cfg(job, byDomain)))
+    e.trace().collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[String]("url"))).sortBy(_._1)
+      .map(_._2).toSeq
+  }
+
+  private val hostOrder = Seq(
+    "https://a.sitea.test/",
+    "https://a.sitea.test/p", "https://b.sitea.test/p", "https://c.siteb.test/p")
+  private val domainOrder = Seq(
+    "https://a.sitea.test/",
+    "https://a.sitea.test/p", "https://c.siteb.test/p", "https://b.sitea.test/p")
+
+  test("domain grouping defers the second subdomain; host mode doesn't") {
+    assert(run("h1", byDomain = false) == hostOrder)
+    assert(run("d1", byDomain = true) == domainOrder)
+  }
+
+  test("wide (DataFrame window) schedule path agrees") {
+    assert(run("d2", byDomain = true, forceWidePath = true) == domainOrder)
+  }
+
+  test("engine trace equals the sequential oracle in domain mode") {
+    val pagesByNorm = corpus.map(p =>
+      UrlOps.normalize(p.url) -> new String(p.html, "UTF-8")).toMap
+    val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg("d3", byDomain = true)))
+    assert(run("d3", byDomain = true) == oracle.trace.sortBy(_.seq).map(_.url))
+  }
+}

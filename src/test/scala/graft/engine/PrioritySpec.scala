@@ -71,6 +71,50 @@ class PrioritySpec extends AnyFunSuite {
       "https://p.test/date", "https://p.test/apple"))
   }
 
+  test("composition: PageRank over the extracted link graph drives the frontier") {
+    val s = spark; import s.implicits._
+    // corpus where /cherry is the popular page: every sibling links to it
+    val corpus2 = Seq(
+      page("https://p.test/",
+        """<html><body><a href="/banana">b</a><a href="/apple">a</a>
+          |<a href="/cherry">c</a><a href="/date">d</a></body></html>""".stripMargin),
+      page("https://p.test/banana", """<a href="/cherry">c</a>"""),
+      page("https://p.test/apple", """<a href="/cherry">c</a>"""),
+      page("https://p.test/cherry", "<html><body>c</body></html>"),
+      page("https://p.test/date", """<a href="/cherry">c</a>"""))
+    // extract the link graph with the real kernel, rank it, negate ranks so
+    // higher PageRank = fetched earlier — the deployment pattern the
+    // CrawlConfig.priorityOf scaladoc describes
+    val urls = corpus2.map(_.url)
+    val idOf = urls.zipWithIndex.map { case (u, i) => u -> i.toLong }.toMap
+    val edges = corpus2.flatMap { p =>
+      graft.core.Extractor.extract(p.url, new String(p.html, "UTF-8")).links
+        .flatMap(l => idOf.get(graft.core.UrlOps.normalize(l)))
+        .map(d => (idOf(p.url), d))
+    }
+    val ranks = graft.pipeline.Graph
+      .pageRankFixedPoint(edges.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byNorm: Map[String, Long] =
+      idOf.map { case (u, i) => u -> -ranks.getOrElse(i, 0L) }
+    val fn: String => Long = { val m = byNorm; norm => m.getOrElse(norm, 0L) }
+    assert(ranks(idOf("https://p.test/cherry")) >
+      ranks(idOf("https://p.test/banana")), "cherry must out-rank siblings")
+
+    val e = new CrawlEngine(spark, s.createDataset(corpus2).toDF(),
+      Files.createTempDirectory("prio3").toString, Map.empty, settings)
+    e.run(Seq(CrawlConfig("pc", Seq("https://p.test/"),
+      strategy = "same-hostname", limit = 100, maxDepth = 3,
+      priorityOf = Some(fn))))
+    val got = e.trace().collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[String]("url"))).sortBy(_._1).map(_._2)
+    // depth 1: cherry first (top rank), then the equal-rank rest in urlNorm order
+    assert(got.toSeq == Seq(
+      "https://p.test/",
+      "https://p.test/cherry", "https://p.test/apple",
+      "https://p.test/banana", "https://p.test/date"))
+  }
+
   test("engine trace equals the sequential oracle under the same rank function") {
     val s = spark; import s.implicits._
     val pagesByNorm = corpus.map(p =>

@@ -66,14 +66,15 @@ object SequentialOracle {
       val staged = mutable.ArrayBuffer[(Long, FrontierEntry)]()
       sorted.foreach { e =>
         val c = cfgs(e.jobId)
-        // per-(job, host): hostBudgetPerStep capped by the robots
-        // Crawl-delay quota when the job opted in (same pure function the
-        // engine's schedule paths call)
-        val b = CrawlEngine.effectiveBudget(c, robots, c.hostBudgetPerStep.toLong, e.host)
+        // per-(job, politeness key): hostBudgetPerStep capped by the robots
+        // Crawl-delay quota when the job opted in (same pure functions the
+        // engine's schedule paths call; key = host or eTLD+1)
+        val pk = CrawlEngine.politeKey(c, e.host)
+        val b = CrawlEngine.effectiveBudget(c, robots, c.hostBudgetPerStep.toLong, pk)
         val cap = if (b >= Int.MaxValue.toLong) Long.MaxValue else b * c.politenessWaves
-        val k = hostCount((e.jobId, e.host))
+        val k = hostCount((e.jobId, pk))
         if (k < cap) {
-          hostCount((e.jobId, e.host)) = k + 1
+          hostCount((e.jobId, pk)) = k + 1
           staged += (((if (b >= Int.MaxValue.toLong) 0L else k / b), e))
         }
       }
