@@ -64,6 +64,27 @@ class PslSpec extends AnyFunSuite {
     assert(p.registrable("deep.q.qux") == "q.qux")
   }
 
+  test("properties on generated hosts: suffix chain + idempotence") {
+    val rnd = new scala.util.Random(7)
+    val labels = Seq("a", "bb", "www", "cdn", "shop", "x1")
+    val tails = Seq("com", "co.uk", "ck", "www.ck", "github.io", "test",
+      "blogspot.com", "example.org", "s3.amazonaws.com")
+    (1 to 500).foreach { _ =>
+      val depth = rnd.nextInt(4)
+      val host = ((0 until depth).map(_ => labels(rnd.nextInt(labels.size))) :+
+        tails(rnd.nextInt(tails.size))).mkString(".")
+      val ps = Psl.snapshot.publicSuffix(host)
+      val rd = Psl.snapshot.registrable(host)
+      assert(host == ps || host.endsWith("." + ps), s"$host publicSuffix $ps")
+      assert(host == rd || host.endsWith("." + rd), s"$host registrable $rd")
+      assert(rd == ps || rd.endsWith("." + ps), s"$rd must end with suffix $ps")
+      // registrable has at most one label more than the suffix
+      assert(rd.count(_ == '.') <= ps.count(_ == '.') + 1, s"$host -> $rd / $ps")
+      // idempotence: collapsing an already-collapsed domain is a no-op
+      assert(Psl.snapshot.registrable(rd) == rd, s"idempotence on $rd")
+    }
+  }
+
   test("UrlOps.registrableDomain delegates (URL in, domain out)") {
     assert(UrlOps.registrableDomain("https://News.BBC.co.uk:443/x?y#z") == "bbc.co.uk")
     assert(UrlOps.registrableDomain("https://a.b.host7.example.test/") == "example.test")
