@@ -61,6 +61,7 @@ object PlanAudit {
       "q74_link_hits"        -> "the visible plan is the LAST half-round (join + partial-agg + the 1-row normalizer crossJoin) over checkpointed roots — constant Catalyst size over any iteration count, the q44 property",
       "q75_domain_graph"     -> "PLD collapse below the single map-side-combined aggregate exchange; countDistinct adds its standard two-phase expand, never a second scan",
       "q76_rank_buckets"     -> "exact global rank with NO Window operator: checkpointed range partitioning + broadcast offsets (the q50 machinery), bucket as an integer-comparison projection",
+      "q77_url_quality"      -> "URL scoring as a pure kernel projection over the scan — no exchange before the ordered output",
       "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate")
 
     val sb = new StringBuilder

@@ -1141,6 +1141,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-quality gate (RefinedWeb-style curation by ADDRESS — and the
+    // frontier prune a crawler applies before fetching): blocklist hits,
+    // host digit-density, hyphen stuffing, path depth and query fan as one
+    // integer score from a zero-shuffle kernel (pipeline/UrlQuality). Six
+    // planted URL shapes make every signal CASE arithmetic in doc_id (the
+    // only variable piece is the decimal length of doc_id%40, which SQL
+    // gets from length(CAST(... AS VARCHAR))).
+    "q77_url_quality" -> ((s, dir) => {
+      val d = col("doc_id")
+      val i = pmod(d, lit(40))
+      val url = when(pmod(d, lit(6)) === 0,
+          concat(lit("https://news.site"), i, lit(".com/articles/politics/story"), i))
+        .when(pmod(d, lit(6)) === 1,
+          concat(lit("https://win-casino-"), i, lit(".bet/free-spins")))
+        .when(pmod(d, lit(6)) === 2,
+          concat(lit("https://a1b2c3"), i, lit(".xyz/p?a=1&b=2&c=3")))
+        .when(pmod(d, lit(6)) === 3,
+          concat(lit("https://shop.site"), i, lit(".com/p/x/y/z/deep/path/item"), i))
+        .when(pmod(d, lit(6)) === 4,
+          concat(lit("https://xxx-movies"), i, lit(".com/")))
+        .otherwise(
+          concat(lit("https://blog.site"), i, lit(".org/post-"), i,
+            lit("-title-with-many-hyphens")))
+      val scoreUdf = udf((u: String) => graft.pipeline.UrlQuality.score(u))
+      t(s, dir, "documents").select(d, url.as("url"))
+        .select(d.as("doc_id"), scoreUdf(col("url")).as("s"))
+        .select(col("doc_id"),
+          col("s.pathDepth").cast("long").as("path_depth"),
+          col("s.hostDigits").cast("long").as("host_digits"),
+          col("s.hyphens").cast("long").as("hyphens"),
+          col("s.queryParams").cast("long").as("params"),
+          col("s.badwordHits").cast("long").as("badword_hits"),
+          col("s.blocked").as("blocked"),
+          col("s.score").as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q12_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -3243,6 +3280,33 @@ object SparkEntry {
         |       WHEN rank * 3 < n * 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the planted URL shapes (q77 query comment);
+    // L = decimal length of doc_id%40 is the only variable signal
+    "q77_url_quality" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id % 6 AS c,
+        |    length(CAST(doc_id % 40 AS VARCHAR)) AS L
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE c WHEN 0 THEN 3 WHEN 3 THEN 7 WHEN 4 THEN 0
+        |    ELSE 1 END AS BIGINT) AS path_depth,
+        |  CAST(CASE c WHEN 2 THEN 3 + L ELSE L END AS BIGINT) AS host_digits,
+        |  CAST(CASE c WHEN 1 THEN 3 WHEN 4 THEN 1 WHEN 5 THEN 5
+        |    ELSE 0 END AS BIGINT) AS hyphens,
+        |  CAST(CASE c WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS params,
+        |  CAST(CASE WHEN c IN (1, 4) THEN 1 ELSE 0 END AS BIGINT) AS badword_hits,
+        |  c IN (1, 4) AS blocked,
+        |  CAST(CASE c
+        |    WHEN 0 THEN 30 + 2 * L
+        |    WHEN 1 THEN 1025 + 2 * L
+        |    WHEN 2 THEN 19 + 2 * L
+        |    WHEN 3 THEN 70 + 2 * L
+        |    WHEN 4 THEN 1005 + 2 * L
+        |    ELSE 35 + 2 * L
+        |  END AS BIGINT) AS score
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,
