@@ -946,22 +946,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // distributed BPE merge learning over a closed-form corpus (the classic
-    // hug/pug/pun/bun/hugs distribution keyed by doc_id%3): the engine runs
-    // the real word-count-factored loop (one corpus shuffle, then bounded
-    // pair aggregations over the unique-word table); DuckDB replays all 8
-    // merge rounds as chained CTEs using the padded double-space symbol
-    // encoding, whose plain `replace` reproduces greedy left-to-right
-    // non-overlapping merge application exactly. Round 8 is dry on this
-    // corpus (everything is a single symbol by then) — both sides emit 7
-    // rows, which pins the early-stop path too.
+    // distributed BPE merge learning, BATCHED rounds (Bpe scaladoc): a
+    // 64-merge vocabulary learned at batchK=8 symbol-disjoint merges per
+    // driver round — 12 rounds instead of 64 on this corpus, the
+    // sublinear-round path a real 32k-merge training run needs. The
+    // closed-form corpus is 12 sentences keyed by doc_id%12 (16 distinct
+    // words rich enough for 64 merges at every sf); the engine runs the
+    // word-count-factored loop with local-maxima batch acceptance; DuckDB
+    // replays every ROUND as chained CTEs — candidate ranking, the same
+    // NOT-EXISTS local-maxima rule inside the same top-4096 window, the
+    // batch/budget caps, then up to 8 chained `replace`s over the padded
+    // double-space symbol encoding (identity via a chr(1) sentinel when a
+    // slot is empty). Greedy left-to-right non-overlapping application
+    // semantics are exactly the single-merge oracle's (see q67BpeSql).
     "q67_bpe_merges" -> ((s, dir) => {
       val d = col("doc_id")
-      val docs = t(s, dir, "documents").select(
-        when(pmod(d, lit(3)) === 0, lit("hug hug pug pun"))
-          .when(pmod(d, lit(3)) === 1, lit("pun bun hugs hug"))
-          .otherwise(lit("hug pug pun bun hugs")).as("text"))
-      graft.pipeline.Bpe.learnMerges(docs, "text", merges = 8)
+      val sentCase = q67Sentences.zipWithIndex.tail
+        .foldLeft(when(pmod(d, lit(12)) === 0, lit(q67Sentences.head))) {
+          case (acc, (sent, i)) => acc.when(pmod(d, lit(12)) === i, lit(sent))
+        }
+      val docs = t(s, dir, "documents").select(sentCase.as("text"))
+      graft.pipeline.Bpe.learnMerges(docs, "text", merges = 64, batchK = 8)
         .orderBy(col("merge_rank"))
     }),
 
@@ -1889,7 +1894,27 @@ object SparkEntry {
     * mirroring Spark's `div`, so the ranks are bit-equal, not approximately
     * equal. Branch-selected per scale factor via a seed guard like
     * [[q24BfsCtes]]. */
-  /** q67's oracle: the full BPE merge loop replayed in SQL as chained CTEs.
+  /** The q67 closed-form corpus: 12 sentences keyed by `doc_id % 12` —
+    * 16 distinct words whose merge forest supports the full 64-merge
+    * budget at every sf (verified by closed-form simulation: 64 merges in
+    * 12 batched rounds at 50/500/5000 docs). Shared by the Spark query and
+    * the DuckDB oracle builder. */
+  private val q67Sentences: Seq[String] = Seq(
+    "hugging puddle jungle grumble",
+    "bundle sparkle twinkle hugging",
+    "puddle muddle fizzle sparkle",
+    "jungle bundle crumble fizzle",
+    "grumble crumble twinkle muddle",
+    "hugging sparkle puddle bundle",
+    "whistle thimble jungle fizzle",
+    "whistle grumble thimble muddle",
+    "quartz oxygen vortex zephyr",
+    "magnetic crystal dolphin pyramid",
+    "quartz crystal zephyr dolphin",
+    "oxygen pyramid vortex magnetic")
+
+  /** q67's oracle: the BATCHED BPE merge loop replayed in SQL as chained
+    * CTEs, one block per round.
     *
     * Symbol sequences are encoded as padded strings — single space at each
     * boundary, DOUBLE space between symbols — so DuckDB's plain `replace`
@@ -1899,47 +1924,81 @@ object SparkEntry {
     * space from each neighboring separator and the replacement ` lr `
     * restores it, so consecutive disjoint pairs all merge in one pass while
     * overlapping ones don't (` a  a  a ` -> ` aa  a `, verified in DuckDB).
-    * Each round k: pairs from zipping the token list against its own tail,
-    * argmax with the engine's (count DESC, left, right) tie-break and the
-    * same minPairCount >= 2 gate, then the replace. A dry round contributes
-    * zero rows — the engine's early-stop path. */
+    *
+    * Round k replays the engine's batched acceptance bit-for-bit:
+    * `cand k` ranks pair counts by (count DESC, left, right) over the same
+    * minPairCount >= 2 gate; `acc k` applies the local-maxima rule (accept
+    * p iff no higher-ranked candidate shares a symbol) inside the same
+    * top-4096 window via a NOT-EXISTS self-join; `fin k` caps the batch at
+    * batchK = 8 and at the remaining 64-merge budget (`tot k` is the
+    * running learned count); `w k` applies the accepted merges in rank
+    * order as a fixed chain of 8 replaces, each slot an identity replace
+    * of a chr(1) sentinel when empty. Rounds are unrolled 24 deep — the
+    * corpus needs 12 at every sf (see [[q67Sentences]]); extra rounds are
+    * dry and contribute zero rows, which also pins the early-stop path. */
   private def q67BpeSql: String = {
-    val merges = 8
+    val rounds = 24
+    val batchK = 8
+    val mergeBudget = 64
+    val sentCase = q67Sentences.zipWithIndex
+      .map { case (s, i) => s"      WHEN $i THEN '$s'" }
+      .mkString("\n")
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS (
+      s"""WITH w0 AS MATERIALIZED (
         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
         |    ' ' || array_to_string(
         |      list_transform(range(1, length(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
         |  FROM (
-        |    SELECT unnest(string_split(CASE CAST(doc_id % 3 AS INT)
-        |      WHEN 0 THEN 'hug hug pug pun'
-        |      WHEN 1 THEN 'pun bun hugs hug'
-        |      ELSE 'hug pug pun bun hugs' END, ' ')) AS w
+        |    SELECT unnest(string_split(CASE CAST(doc_id % 12 AS INT)
+        |$sentCase
+        |      END, ' ')) AS w
         |    FROM documents)
         |  GROUP BY w
-        |)""".stripMargin)
-    for (k <- 1 to merges) {
-      sb.append(s""",
-        |b$k AS (
-        |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
-        |  FROM (
-        |    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z
-        |    FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS toks FROM w${k - 1}))
-        |  WHERE z[2] IS NOT NULL
-        |  GROUP BY z[1], z[2] HAVING CAST(sum(cnt) AS BIGINT) >= 2
-        |  ORDER BY c DESC, l, r LIMIT 1
         |),
-        |w$k AS (
+        |tot0 AS MATERIALIZED (SELECT 0 AS n)""".stripMargin)
+    for (k <- 1 to rounds) {
+      val replaceChain = (1 to batchK).foldLeft("w.s") { (prev, i) =>
+        s"""replace($prev,
+           |      coalesce((SELECT ' ' || l || '  ' || r || ' ' FROM fin$k WHERE arank = $i), chr(1)),
+           |      coalesce((SELECT ' ' || l || r || ' ' FROM fin$k WHERE arank = $i), ''))""".stripMargin
+      }
+      sb.append(s""",
+        |cand$k AS MATERIALIZED (
+        |  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+        |  FROM (
+        |    SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+        |    FROM (
+        |      SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z
+        |      FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS toks FROM w${k - 1}))
+        |    WHERE z[2] IS NOT NULL
+        |    GROUP BY z[1], z[2] HAVING CAST(sum(cnt) AS BIGINT) >= 2)
+        |),
+        |acc$k AS MATERIALIZED (
+        |  SELECT l, r, c, row_number() OVER (ORDER BY rk) AS arank
+        |  FROM cand$k p
+        |  WHERE p.rk <= 4096 AND NOT EXISTS (
+        |    SELECT 1 FROM cand$k q
+        |    WHERE q.rk < p.rk AND q.rk <= 4096
+        |      AND (q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r))
+        |),
+        |fin$k AS MATERIALIZED (
+        |  SELECT l, r, c, arank,
+        |    (SELECT n FROM tot${k - 1}) + arank AS merge_rank
+        |  FROM acc$k
+        |  WHERE arank <= $batchK
+        |    AND (SELECT n FROM tot${k - 1}) + arank <= $mergeBudget
+        |),
+        |tot$k AS MATERIALIZED (SELECT (SELECT n FROM tot${k - 1}) + (SELECT count(*) FROM fin$k) AS n),
+        |w$k AS MATERIALIZED (
         |  SELECT w.cnt,
-        |    replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
-        |                 ' ' || b.l || b.r || ' ') AS s
-        |  FROM w${k - 1} w, b$k b
+        |    $replaceChain AS s
+        |  FROM w${k - 1} w
         |)""".stripMargin)
     }
     sb.append("\n")
-    sb.append((1 to merges).map { k =>
-      s"SELECT CAST($k AS INT) AS merge_rank, l AS \"left\", r AS \"right\", c AS pair_count FROM b$k"
+    sb.append((1 to rounds).map { k =>
+      s"SELECT CAST(merge_rank AS INT) AS merge_rank, l AS \"left\", r AS \"right\", c AS pair_count FROM fin$k"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
     sb.toString
   }

@@ -33,6 +33,25 @@ import org.apache.spark.sql.types._
  * what matters at scale is that each iteration is one bounded shuffle over
  * the unique-word table, never the corpus.
  *
+ * BATCHED ROUNDS (`batchK > 1`): a 32k-merge vocabulary at one driver
+ * round-trip per merge is 32k sequential Spark jobs — days of latency
+ * independent of cluster size. The standard remedy is to learn several
+ * SYMBOL-DISJOINT merges per round. The acceptance rule here is the
+ * local-maxima rule: rank candidates by (count DESC, left, right) and
+ * accept candidate p iff NO higher-ranked candidate shares a symbol with
+ * p (then cap at `batchK` and at the remaining merge budget). Accepted
+ * pairs are pairwise disjoint by construction, so their round-start
+ * counts are exactly the counts a sequential executor would have seen
+ * when its turn came, and applying them in rank order is
+ * order-independent. The rule is a pure function of the ranked candidate
+ * list — partitioning-independent, and replayable in SQL as a
+ * NOT-EXISTS self-join (the q67 oracle does exactly that). Candidates
+ * are ranked distributedly and only the top `candTopM` rows reach the
+ * driver; acceptance is decided within that window on both sides, so
+ * engine and oracle stay bit-equal. `batchK = 1` (the default) accepts
+ * exactly the rank-1 candidate — the classic sequential algorithm,
+ * unchanged.
+ *
  * Determinism: ties in pair frequency break lexicographically on
  * (left, right) — byte order, partitioning-independent. Symbols are
  * UTF-16 code units at initialization (Scala string chars); the q67
@@ -50,8 +69,10 @@ object Bpe {
     *         pairs (`minPairCount`) first.
     */
   def learnMerges(docs: DataFrame, textCol: String, merges: Int,
-      minPairCount: Long = 2): DataFrame = {
+      minPairCount: Long = 2, batchK: Int = 1, candTopM: Int = 4096): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(batchK >= 1 && candTopM >= batchK,
+      s"need batchK >= 1 and candTopM >= batchK, got $batchK/$candTopM")
     val spark = docs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
 
@@ -74,33 +95,55 @@ object Bpe {
       .transform(Checkpoints.step)
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var k = 0
     var dry = false
-    while (k < merges && !dry) {
-      // adjacent-pair counts, weighted by word count; map-side combinable
-      val best = words
+    while (learned.length < merges && !dry) {
+      // adjacent-pair counts, weighted by word count; map-side combinable.
+      // Ranked distributedly; only the top-candTopM window (1 row when
+      // batchK = 1) ever reaches the driver.
+      val window = if (batchK == 1) 1 else candTopM
+      val cands: Array[Row] = words
         .select(explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
           .as("p"), col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
+        .where(col("c") >= minPairCount)
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(window)
         .collect()
 
-      best.headOption.filter(_.getLong(2) >= minPairCount) match {
-        case None => dry = true
-        case Some(row) =>
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-          learned += Merge(k + 1, l, r, c)
-          val next = words.mapPartitions { it =>
-            it.map { wr =>
-              Row(applyMerge(wr.getSeq[String](0), l, r), wr.getLong(1))
-            }
-          }(wordEnc).transform(Checkpoints.step)
-          if (reliable) Checkpoints.drop(words)
-          words = next
-          k += 1
+      if (cands.isEmpty) dry = true
+      else {
+        // local-maxima acceptance within the ranked window (see scaladoc):
+        // p is accepted iff no higher-ranked CANDIDATE shares a symbol.
+        val budget = math.min(batchK, merges - learned.length)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < cands.length && accepted.length < budget) {
+          val p = cands(i)
+          val (pl, pr) = (p.getString(0), p.getString(1))
+          var conflict = false
+          var j = 0
+          while (j < i && !conflict) {
+            val q = cands(j)
+            val (ql, qr) = (q.getString(0), q.getString(1))
+            conflict = ql == pl || ql == pr || qr == pl || qr == pr
+            j += 1
+          }
+          if (!conflict) accepted += ((pl, pr, p.getLong(2)))
+          i += 1
+        }
+        accepted.foreach { case (l, r, c) => learned += Merge(learned.length + 1, l, r, c) }
+        val batch = accepted.map { case (l, r, _) => (l, r) }.toArray
+        val next = words.mapPartitions { it =>
+          it.map { wr =>
+            var syms = wr.getSeq[String](0)
+            batch.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+            Row(syms, wr.getLong(1))
+          }
+        }(wordEnc).transform(Checkpoints.step)
+        if (reliable) Checkpoints.drop(words)
+        words = next
       }
     }
     spark.createDataFrame(learned.toSeq)

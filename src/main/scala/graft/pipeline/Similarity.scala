@@ -100,41 +100,49 @@ object Similarity {
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** The centroid-selection stride that keeps the driver-collected centroid
+    * set bounded at `maxCentroids` REGARDLESS of corpus size: the caller's
+    * `centEvery` widened (never narrowed) so that K = (maxId+1)/stride ≤
+    * maxCentroids. Deterministic in (maxId, centEvery, maxCentroids) — the
+    * same rule an oracle replays — and a pure function, so it is spec-able
+    * without materializing a 10^9-row corpus. */
+  def boundedCentEvery(maxId: Long, centEvery: Long, maxCentroids: Long): Long = {
+    require(centEvery >= 1 && maxCentroids >= 1)
+    val need = (maxId + maxCentroids) / maxCentroids // ceil((maxId+1)/maxCentroids)
+    math.max(centEvery, need)
+  }
+
   /** IVF (inverted-file) ANN: a bounded centroid table — every
     * `centEvery`-th vector by id, a deterministic rule DuckDB can replay —
     * partitions the corpus into Voronoi lists; a query scores only the
     * `nprobe` lists whose centroids are nearest to it (the Faiss IVF-Flat
-    * layout). The centroid set is collected once (K = |corpus|/centEvery is
-    * bounded by construction) and broadcast; assignment + scoring run as a
-    * dense Scala kernel over the scan — no join, no shuffle; the only
-    * exchange is the final top-k reduce (TakeOrderedAndProject). At 100 TB
-    * the assignment column is precomputed at ingest and the corpus is
-    * partitioned by list id, so a query becomes `nprobe` partition-pruned
-    * scans while the centroid table (a few MB even at 2^20 lists) stays a
-    * broadcast dimension. */
+    * layout). The centroid set is collected once and broadcast; assignment
+    * + scoring run as a dense Scala kernel over the scan — no join, no
+    * shuffle; the only exchange is the final top-k reduce
+    * (TakeOrderedAndProject).
+    *
+    * The collect is BOUNDED for any corpus: one map-side-combinable
+    * `max(id)` aggregate (8 bytes to the driver) feeds
+    * [[boundedCentEvery]], which widens the stride until the centroid
+    * count is ≤ `maxCentroids` (default 2^20 — a few GB of dim-64 vectors
+    * worst case, a few MB at realistic strides). At 10^9 rows with the
+    * default stride the old code collected 2×10^7 vectors; this caps it at
+    * 2^20 no matter what the caller passes. At 100 TB the assignment
+    * column is precomputed at ingest ([[ivfAssign]]) and the corpus is
+    * laid out partitioned by list id, so a query becomes `nprobe`
+    * partition-pruned scans ([[ivfTopKAssigned]]) while the centroid table
+    * stays a broadcast dimension. */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int, centEvery: Long = 50, nprobe: Int = 4): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = df
-      .filter(col(idCol) % centEvery === 0)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, s"no centroids: no $idCol divisible by $centEvery")
-    // driver-side probe selection over the bounded centroid set:
-    // top nprobe by (cosine desc, cid asc)
-    def cosLocal(a: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val q = if (i < query.length) query(i) else 0.0
-        dot += a(i) * q; na += a(i) * a(i); nb += q * q; i += 1
-      }
-      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+      query: Seq[Double], k: Int, centEvery: Long = 50, nprobe: Int = 4,
+      maxCentroids: Long = 1L << 20): DataFrame = {
+    val maxId = df.agg(max(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
     }
-    val probeCids: Seq[Long] = cents
-      .map { case (cid, cv) => (cid, cosLocal(cv)) }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nprobe).map(_._1).toSeq
+    val stride = boundedCentEvery(maxId, centEvery, maxCentroids)
+    val cents: Array[(Long, Array[Double])] = collectCentroids(df, vecCol, idCol, stride)
+    require(cents.nonEmpty, s"no centroids: no $idCol divisible by $stride")
+    val probeCids: Seq[Long] = probeLists(cents, query, nprobe)
     // assignment + scoring as a broadcast Scala kernel. Catalyst
     // higher-order functions run INTERPRETED (no whole-stage codegen, no
     // constant folding, no CSE across when-branches): the Column version
@@ -180,6 +188,89 @@ object Similarity {
         }
       }
       .toDF(idCol, "score")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The bounded centroid collect shared by [[ivfTopK]] / [[ivfAssign]] /
+    * [[ivfTopKAssigned]]: callers pass a stride already widened by
+    * [[boundedCentEvery]], so the driver never holds more than
+    * `maxCentroids` vectors. */
+  def collectCentroids(df: DataFrame, vecCol: String, idCol: String,
+      stride: Long): Array[(Long, Array[Double])] = df
+    .filter(col(idCol) % stride === 0)
+    .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    .sortBy(_._1)
+
+  /** Cosine in plain Scala, operand order identical to the driver-side
+    * probe selection and the executor kernel (query padded with zeros past
+    * the vector's length). */
+  private[pipeline] def cosineLocal(a: Array[Double], query: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val q = if (i < query.length) query(i) else 0.0
+      dot += a(i) * q; na += a(i) * a(i); nb += q * q; i += 1
+    }
+    if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+  }
+
+  /** Driver-side probe selection over the bounded centroid set:
+    * top `nprobe` by (cosine desc, cid asc). */
+  private[pipeline] def probeLists(cents: Array[(Long, Array[Double])],
+      query: Seq[Double], nprobe: Int): Seq[Long] = cents
+    .map { case (cid, cv) => (cid, cosineLocal(cv, query)) }
+    .sortBy { case (cid, s) => (-s, cid) }
+    .take(nprobe).map(_._1).toSeq
+
+  /** INGEST-TIME list assignment — the documented 100 TB IVF shape. Adds a
+    * `list_id` column (the owning centroid's id, ties to lowest cid — the
+    * exact argmax rule of [[ivfTopK]]'s in-query kernel) while keeping
+    * every input column, so the result can be written
+    * `partitionBy("list_id")` once and served by [[ivfTopKAssigned]]'s
+    * partition-pruned scans forever after. One corpus scan, zero shuffles;
+    * centroids ride a broadcast. The per-row argmax is a Scala closure
+    * over the broadcast matrix (a dense numeric kernel — the Column-HOF
+    * formulation runs interpreted and was measured three orders of
+    * magnitude slower, see [[ivfTopK]]). */
+  def ivfAssign(df: DataFrame, vecCol: String, idCol: String,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "ivfAssign: empty centroid set")
+    val sorted = cents.sortBy(_._1).map { case (cid, cv) =>
+      (cid, cv, math.sqrt(cv.map(x => x * x).sum))
+    }
+    val centsB = df.sparkSession.sparkContext.broadcast(sorted)
+    val assignUdf = udf { v: Seq[Double] =>
+      val cs = centsB.value
+      val a = v.toArray
+      var bestSim = Double.NegativeInfinity; var bestCid = Long.MaxValue
+      cs.foreach { case (cid, cv, cn) =>
+        var dot = 0.0; var i = 0
+        val n = math.min(a.length, cv.length)
+        while (i < n) { dot += a(i) * cv(i); i += 1 }
+        val sim = if (cn > 0) dot / cn else 0.0
+        if (sim > bestSim) { bestSim = sim; bestCid = cid }
+      }
+      bestCid
+    }
+    df.withColumn("list_id", assignUdf(col(vecCol).cast("array<double>")))
+  }
+
+  /** Query half of the ingest-time IVF pair: over a corpus that already
+    * carries [[ivfAssign]]'s `list_id` column (ideally written
+    * `partitionBy("list_id")`), a query is an `isin` filter over the
+    * `nprobe` probe lists — partition-PRUNED at the source when the layout
+    * is partitioned, pushed to the scan otherwise — followed by codegen'd
+    * cosine scoring and a TakeOrderedAndProject top-k. No assignment work
+    * at query time at all; the centroid table never leaves the driver. */
+  def ivfTopKAssigned(assigned: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, cents: Array[(Long, Array[Double])],
+      nprobe: Int = 4): DataFrame = {
+    val probes = probeLists(cents.sortBy(_._1), query, nprobe)
+    assigned
+      .filter(col("list_id").isin(probes: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

@@ -59,6 +59,95 @@ class BpeSpec extends AnyFunSuite {
     assert(out(0) == (("r", "e", 80L)))
   }
 
+  /** Plain-Scala reference of the BATCHED learner (Bpe scaladoc): rank
+    * candidates by (count DESC, l, r), accept local maxima (no
+    * higher-ranked candidate shares a symbol) within the top-`topM`
+    * window, cap at batchK and the remaining budget, apply in rank order.
+    * Single-threaded, no Spark — the independent oracle the distributed
+    * implementation must match bit-for-bit. */
+  private def refBatched(wordCounts: Map[String, Long], merges: Int, batchK: Int,
+      minPairCount: Long = 2, topM: Int = 4096): Seq[(Int, String, String, Long)] = {
+    var words: Map[String, Seq[String]] =
+      wordCounts.keys.map(w => w -> w.toCharArray.map(_.toString).toSeq).toMap
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var dry = false
+    while (learned.length < merges && !dry) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + wordCounts(w)
+      val cands = pc.toSeq.collect { case ((l, r), c) if c >= minPairCount => (c, l, r) }
+        .sortBy { case (c, l, r) => (-c, l, r) }.take(topM)
+      if (cands.isEmpty) dry = true
+      else {
+        val budget = math.min(batchK, merges - learned.length)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+        for ((cand, i) <- cands.zipWithIndex if acc.length < budget) {
+          val (c, l, r) = cand
+          val conflict = cands.take(i).exists { case (_, ql, qr) =>
+            ql == l || ql == r || qr == l || qr == r
+          }
+          if (!conflict) acc += ((c, l, r))
+        }
+        acc.foreach { case (c, l, r) => learned += ((learned.length + 1, l, r, c)) }
+        words = words.view.mapValues { syms0 =>
+          acc.foldLeft(syms0) { case (syms, (_, l, r)) => Bpe.applyMerge(syms, l, r) }
+        }.toMap
+      }
+    }
+    learned.toSeq
+  }
+
+  test("batched rounds match the single-threaded reference bit-for-bit") {
+    // the q67 corpus shape: 12 sentences, 16 distinct words, weights from
+    // uneven doc counts — rich enough for 64 merges in ~12 rounds
+    val sents = Seq(
+      "hugging puddle jungle grumble", "bundle sparkle twinkle hugging",
+      "puddle muddle fizzle sparkle", "jungle bundle crumble fizzle",
+      "grumble crumble twinkle muddle", "hugging sparkle puddle bundle",
+      "whistle thimble jungle fizzle", "whistle grumble thimble muddle",
+      "quartz oxygen vortex zephyr", "magnetic crystal dolphin pyramid",
+      "quartz crystal zephyr dolphin", "oxygen pyramid vortex magnetic")
+    val docs = (0 until 100).map(i => sents(i % 12)).toDF("text").repartition(7)
+    val wc = (0 until 100).flatMap(i => sents(i % 12).split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = refBatched(wc, merges = 64, batchK = 8)
+    val got = Bpe.learnMerges(docs, "text", merges = 64, batchK = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.length == 64)
+    assert(got == expect)
+    // accepted pairs within any batch are symbol-disjoint by the rule;
+    // spot-check: no symbol appears twice among any 8 consecutive ranks
+    // that were learned in one round is implied by equality with the
+    // reference, whose acceptance enforces it structurally.
+  }
+
+  test("batchK = 1 degenerates to the classic sequential algorithm") {
+    val corpus = (
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+      ).mkString(" ")
+    val seqOut = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", merges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b1 = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", merges = 4, batchK = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(b1 == seqOut)
+    // and the reference at batchK=1 agrees too
+    val wc = corpus.split(" ").groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(refBatched(wc, merges = 4, batchK = 1) == seqOut)
+  }
+
+  test("batch budget: last round accepts only up to the remaining merges") {
+    val sents = Seq("quartz oxygen", "vortex zephyr", "dolphin pyramid")
+    val docs = (0 until 30).map(i => sents(i % 3)).toDF("text")
+    val wc = (0 until 30).flatMap(i => sents(i % 3).split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // merges=5 with batchK=8: round 1 must stop at exactly 5
+    val got = Bpe.learnMerges(docs, "text", merges = 5, batchK = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refBatched(wc, merges = 5, batchK = 8))
+    assert(got.length == 5)
+  }
+
   test("encodeWord: lowest-rank pair first, re-scan after each merge") {
     val ranks = Map(("a", "b") -> 0, ("ab", "c") -> 1, ("x", "y") -> 2)
     assert(Bpe.encodeWord("abc", ranks).toSeq == Seq("abc"))

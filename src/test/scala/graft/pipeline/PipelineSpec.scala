@@ -163,6 +163,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq == ivf.toSeq)
   }
 
+  test("IVF centroid collect is bounded for ANY corpus size") {
+    // the pure stride rule: K = floor(maxId/stride)+1 <= maxCentroids for
+    // arbitrarily large id spaces — provable without materializing rows
+    for (maxId <- Seq(0L, 49L, 1000L, 1000000L, 10000000000L, Long.MaxValue / 2);
+         centEvery <- Seq(1L, 50L, 1000L);
+         maxCent <- Seq(1L, 4L, 1L << 20)) {
+      val stride = Similarity.boundedCentEvery(maxId, centEvery, maxCent)
+      assert(stride >= centEvery)
+      assert(maxId / stride + 1 <= maxCent,
+        s"K unbounded: maxId=$maxId centEvery=$centEvery maxCent=$maxCent stride=$stride")
+    }
+    // and the caller's stride is respected when already within bounds
+    assert(Similarity.boundedCentEvery(999L, 50L, 1L << 20) == 50L)
+    // integration: maxCentroids=4 on a 200-row corpus widens the stride so
+    // at most 4 centroid vectors reach the driver
+    val n = 200
+    val dim = 16
+    val vecs = spark.range(n).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        ((graft.fixtures.SiteGen.mix(i, d.toLong) % 1000L) / 500.0 - 1.0).toFloat)
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val stride = Similarity.boundedCentEvery(n - 1L, 20L, 4L)
+    assert(stride == 50L)
+    assert(Similarity.collectCentroids(vecs, "embedding", "vec_id", stride).length <= 4)
+    // the capped query still returns a full, deterministic top-k
+    val q = (0 until dim).map(d =>
+      (graft.fixtures.SiteGen.mix(999L, d.toLong) % 1000L) / 500.0 - 1.0)
+    val capped = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 4, maxCentroids = 4)
+      .select("vec_id").as[Long].collect()
+    assert(capped.length == 10)
+    // nprobe >= list count makes the capped variant exhaustive => exact
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 10, maxCentroids = 4)
+      .select("vec_id").as[Long].collect().toSet == exact)
+  }
+
+  test("IVF ingest-time assignment: partition-prunable lists, query parity") {
+    val n = 200
+    val dim = 16
+    val vecs = spark.range(n).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        ((graft.fixtures.SiteGen.mix(i, d.toLong) % 1000L) / 500.0 - 1.0).toFloat)
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val q = (0 until dim).map(d =>
+      (graft.fixtures.SiteGen.mix(999L, d.toLong) % 1000L) / 500.0 - 1.0)
+    val cents = Similarity.collectCentroids(vecs, "embedding", "vec_id", 20L)
+    val assigned = Similarity.ivfAssign(vecs, "embedding", "vec_id", cents)
+    // keeps every input column and adds list_id; every row owned by a centroid
+    assert(assigned.columns.toSeq == Seq("vec_id", "embedding", "list_id"))
+    val listIds = assigned.select("list_id").as[Long].collect()
+    assert(listIds.length == n)
+    assert(listIds.toSet.subsetOf(cents.map(_._1).toSet))
+    // query parity: the assigned path must return exactly ivfTopK's rows
+    // (same stride, same probes, same scoring rule)
+    val direct = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaAssigned = Similarity.ivfTopKAssigned(assigned, "embedding", "vec_id",
+      q, 10, cents, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaAssigned == direct)
+    // the probe filter survives a partitioned parquet round-trip as
+    // partition PRUNING: only nprobe of the list directories are scanned
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toFile
+    try {
+      assigned.write.partitionBy("list_id").parquet(tmp.getAbsolutePath + "/ivf")
+      val onDisk = spark.read.parquet(tmp.getAbsolutePath + "/ivf")
+      val viaDisk = Similarity.ivfTopKAssigned(onDisk, "embedding", "vec_id",
+        q, 10, cents, nprobe = 4)
+      assert(viaDisk.select("vec_id").as[Long].collect().toSeq == direct)
+      val scan = viaDisk.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+      assert(scan.contains("list_id"), s"expected list_id partition filter in scan:\n$scan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("decontamination: distinct 13-gram hits, threshold, boundary non-hits") {
     val bench13 = (0 until 13).map(j => s"bt$j").mkString(" ")   // exactly 13 words -> 1 shingle
     val bench15 = (0 until 15).map(j => s"ct$j").mkString(" ")   // 15 words -> 3 shingles
