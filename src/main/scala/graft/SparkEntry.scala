@@ -30,6 +30,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Full-width SERP projection shared by q78/q79: every SerpRow column
+    * including the optionals, snake_cased for DuckDB parity, ints widened
+    * to long (DuckDB int64). */
+  private def serpFullDf(s: SparkSession,
+      pages: org.apache.spark.sql.Dataset[SerpTransforms.SerpPage]): DataFrame =
+    SerpTransforms.parseAll(s, pages).toDF()
+      .select(col("query"), col("page").cast("long").as("page"),
+        col("position").cast("long").as("position"), col("category"),
+        col("title"), col("url"), col("description"), col("source"),
+        col("imageUrl").as("image_url"),
+        col("imageWidth").cast("long").as("image_width"),
+        col("imageHeight").cast("long").as("image_height"),
+        col("snippet"), col("date").as("pub_date"))
+      .orderBy(col("query"), col("page"), col("position"), col("url"))
+
   /** sf factor parsed from the dir name ("…/sf0.01" -> 0.01); sizes the
     * synthetic crawl/serp/media corpora so bench scales with sf. */
   private def sfOf(dir: String): Double = {
@@ -56,6 +71,19 @@ object SparkEntry {
     while (d != null) { rm(new java.io.File(d)); d = liveCrawlWorkDirs.poll() }
   }
 
+  /** Fresh crawl workdir on the RAM-backed fs when present, registered for
+    * reaping (see cleanup note in [[crawlTrace]]). */
+  private def freshCrawlWorkDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val work =
+      (if (java.nio.file.Files.isWritable(shm))
+         java.nio.file.Files.createTempDirectory(shm, "graft-crawl")
+       else java.nio.file.Files.createTempDirectory("graft-crawl")).toString
+    reapCrawlWorkDirs()
+    liveCrawlWorkDirs.add(work)
+    work
+  }
+
   private def crawlTrace(spark: SparkSession, pages: Int, hosts: Int, limit: Int): DataFrame = {
     import spark.implicits._
     // corpus generated EXECUTOR-side from the flat index (the 100 TB shape:
@@ -74,12 +102,7 @@ object SparkEntry {
     }.toDF("url", "html")
     // checkpoints on the RAM-backed fs when present: a single local disk is
     // not the analog of a cluster's DFS (BENCH.md "disk floor"); correctness
-    // paths and tests keep exercising the regular tmp filesystem
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val work =
-      (if (java.nio.file.Files.isWritable(shm))
-         java.nio.file.Files.createTempDirectory(shm, "graft-crawl")
-       else java.nio.file.Files.createTempDirectory("graft-crawl")).toString
+    // paths and tests keep exercising the regular tmp filesystem.
     // tmpfs is RAM and survives JVM exit: without cleanup every Bench/Verify
     // invocation would permanently leak a full crawl checkpoint into /dev/shm
     // (the exact host-contention noise BENCH.md documents). The returned
@@ -87,8 +110,7 @@ object SparkEntry {
     // outlive this call — each invocation instead reaps all PREVIOUS
     // invocations' workdirs (Bench/Verify consume each trace before asking
     // for the next), and one static shutdown hook reaps the last.
-    reapCrawlWorkDirs()
-    liveCrawlWorkDirs.add(work)
+    val work = freshCrawlWorkDir()
     val eng = new CrawlEngine(spark, pagesDf, work,
       robotsBodies = graft.fixtures.SiteGen.robotsRows(hosts).toMap,
       settings = CrawlEngine.Settings(bloomExpectedPerShard = 100000L))
@@ -1181,6 +1203,147 @@ object SparkEntry {
           col("s.blocked").as("blocked"),
           col("s.score").as("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SearXNG JSON SERP parse (F13, previously ScalaTest-only): the REAL
+    // json4s parser runs over closed-form payloads (SerpGen scaladoc lists
+    // the guards: url-less skip + renumber, category/engine defaults,
+    // content→snippet fallback, both resolution spellings, news
+    // publishedDate→pubdate + thumbnail mapping) while DuckDB regenerates
+    // the expected rows from (doc_id, k) arithmetic.
+    "q78_serp_searxng" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long].map { i =>
+        SerpTransforms.SerpPage("searxng", s"query ${i % 7}", (i % 3 + 1).toInt,
+          graft.fixtures.SerpGen.closedFormSearxngJson(i))
+      }
+      serpFullDf(s, pages)
+    }),
+
+    // AC-Engine JSON SERP parse (F13's sibling backend): same construction
+    // as q78; guards = url-less skip with ordinal renumbering, explicit
+    // `position` only on even k, source default, description→snippet
+    // fallback, image/news optionals keyed to even doc_id.
+    "q79_serp_ac" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id")).as[Long].map { i =>
+        SerpTransforms.SerpPage("ac-engine", s"query ${i % 7}", (i % 3 + 1).toInt,
+          graft.fixtures.SerpGen.closedFormAcJson(i))
+      }
+      serpFullDf(s, pages)
+    }),
+
+    // Template URL/query rendering (F14, previously FilterSpec-only): one
+    // render per doc with every semantic branch live — path/query/host
+    // filters, raw default, missing-variable passthrough, unknown-filter
+    // no-match, escaped `\{{`, and the renderText variant with inert
+    // filters. Expected strings are pure doc_id concatenations.
+    "q80_url_template" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val urlT = "https://api.example.org/{{p|path}}/item?q={{q|query}}&h={{h|host}}" +
+        "&r={{r}}&m={{miss}}&u={{q|upper}}&e=\\{{esc}}"
+      val textT = "t={{q|query}} h={{h|host}} r={{r}} m={{miss}}"
+      t(s, dir, "documents").select(col("doc_id")).as[Long].map { i =>
+        val vars = Map(
+          "p" -> s"a b/c$i", "q" -> s"x y&$i", "h" -> s"EX-$i.Org!", "r" -> s"v$i")
+        (i, graft.core.UrlTemplate.render(urlT, vars),
+          graft.core.UrlTemplate.renderText(textT, vars))
+      }.toDF("doc_id", "rendered_url", "rendered_text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // KV-store key scheme (F10, previously KvStoreSpec-only): the
+    // base64-url crawl-data key and the md5-prefix screenshot key (fullPage
+    // variant every 4th doc) — DuckDB recomputes both with its own
+    // base64/md5 builtins, so the hash/encoding contract is checked against
+    // an independent implementation, not replayed.
+    "q81_kv_keys" -> ((s, dir) => {
+      val crawlKeyUdf = udf((jobId: String, url: String) =>
+        graft.engine.KvStore.crawlDataKey(jobId, url))
+      val shotKeyUdf = udf((jobId: String, uniqueKey: String, full: Boolean) =>
+        graft.engine.KvStore.screenshotKey(jobId, uniqueKey, full))
+      val d = col("doc_id")
+      t(s, dir, "documents").select(d,
+          concat(lit("job"), pmod(d, lit(5))).as("job_id"),
+          concat(lit("https://h"), d, lit(".example.org/p/"), d).as("url"),
+          (pmod(d, lit(4)) === 0).as("full_page"))
+        .select(d.as("doc_id"),
+          crawlKeyUdf(col("job_id"), col("url")).as("crawl_key"),
+          shotKeyUdf(col("job_id"), col("url"), col("full_page")).as("shot_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Nofollow link hygiene (C9, previously NofollowSpec-only): the REAL
+    // HTML parser + LinkExtractor run over closed-form pages; honoring
+    // nofollow drops rel-tagged anchors (case-insensitive, comma or space
+    // separated tokens) and empties pages whose meta robots carries
+    // nofollow/none, while the default path keeps them all. Fragment and
+    // mailto hrefs never count. Expected counts/joins are doc_id CASEs.
+    "q82_nofollow_links" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long].map { i =>
+        val base = s"https://h$i.example.org/p"
+        val meta =
+          if (i % 5 == 0) """<meta name="robots" content="nofollow">"""
+          else if (i % 5 == 1) """<meta name="ROBOTS" content="none">"""
+          else if (i % 7 == 0) """<meta name="robots" content="noindex, follow">"""
+          else ""
+        val html = s"""<html><head>$meta</head><body>
+          |<a href="/a">a</a>
+          |<a href="/b" rel="nofollow">b</a>
+          |<a href="/c" rel="NoFollow, noopener">c</a>
+          |<a href="/d" rel="noopener nofollow">d</a>
+          |<a href="/e" rel="noopener">e</a>
+          |<a href="#frag">f</a>
+          |<a href="mailto:x@y.z">g</a>
+          |</body></html>""".stripMargin
+        val doc = graft.core.Html.parse(html)
+        val all = graft.core.LinkExtractor.extract(doc, base)
+        val followed = graft.core.LinkExtractor.extract(doc, base, honorNofollow = true)
+        (i, all.length.toLong, followed.length.toLong, followed.mkString(","))
+      }.toDF("doc_id", "n_links", "n_followed", "followed")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Budget-BINDING politeness waves + rank-guided priority under the
+    // driver's clock (previously spec-only): one host, one seed fanning
+    // out to 150 zero-padded children, hostBudgetPerStep=16 with
+    // politenessWaves=4 — so one superstep schedules 64 children and the
+    // depth-1 level spans THREE generations (64+64+22) — and
+    // priorityOf=(i*37)%100 permuting fetch order away from FIFO (ties on
+    // the residue fall back to urlNorm; limit=300 so neither the enqueue
+    // room nor the fetch cut binds). The oracle replays the schedule
+    // closed-form: rank = row_number over (priority, url), seq = rank+1
+    // (wave-major, single host), generation = 1 + rank/64.
+    "q83_crawl_priority" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val n = 150
+      val seedUrl = "https://h0.example.test/p0"
+      val pagesDf = s.range(n + 1L).map { idx =>
+        if (idx == 0L)
+          (seedUrl, ("<html><body>" +
+            (0 until n).map(i => f"""<a href="/c$i%03d">c</a>""").mkString +
+            "</body></html>").getBytes("UTF-8"))
+        else
+          (f"https://h0.example.test/c${idx - 1}%03d",
+            "<html><body>leaf</body></html>".getBytes("UTF-8"))
+      }.toDF("url", "html")
+      val work = freshCrawlWorkDir()
+      val eng = new CrawlEngine(s, pagesDf, work, robotsBodies = Map.empty,
+        settings = CrawlEngine.Settings(bloomExpectedPerShard = 100000L))
+      eng.run(Seq(CrawlConfig(
+        jobId = "rankjob", seeds = Seq(seedUrl), strategy = "all",
+        maxDepth = 1, limit = 300, hostBudgetPerStep = 16, politenessWaves = 4,
+        priorityOf = Some { u =>
+          "/c(\\d+)$".r.findFirstMatchIn(u)
+            .map(m => (m.group(1).toInt * 37 % 100).toLong).getOrElse(0L)
+        })))
+      eng.trace()
     }),
 
     "q12_fingerprint" -> ((s, dir) => {
@@ -3366,6 +3529,120 @@ object SparkEntry {
         |    ELSE 35 + 2 * L
         |  END AS BIGINT) AS score
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // closed-form regeneration of the SearXNG fixture's expected rows
+    // (SerpGen.closedFormSearxngJson): item k=2 url-less -> skipped, kept
+    // positions renumber (k+1 below the gap, k above); optionals keyed to
+    // (k, doc_id) parity exactly as generated
+    "q78_serp_searxng" ->
+      """SELECT 'query ' || (i % 7) AS query,
+        |  (i % 3) + 1 AS page,
+        |  CASE WHEN k < 2 THEN k + 1 ELSE k END AS position,
+        |  CASE WHEN k % 3 = 1 THEN 'images' WHEN k % 3 = 2 THEN 'news' ELSE 'web' END AS category,
+        |  'T ' || i || ' ' || k AS title,
+        |  'https://s' || k || '.example.org/d' || i AS url,
+        |  (CASE WHEN k % 2 = 0 THEN 'C ' ELSE 'S ' END) || i || ' ' || k AS description,
+        |  'SearXNG (' || (CASE WHEN i % 3 = 0 THEN 'unknown' ELSE 'e' || (i % 3) END) || ')' AS source,
+        |  CASE WHEN k % 3 = 1 THEN 'https://im.example.org/' || i || '/' || k
+        |       WHEN k % 3 = 2 THEN 'https://th.example.org/' || i END AS image_url,
+        |  CAST(CASE WHEN k % 3 = 1 AND i % 2 = 0 THEN 640
+        |       WHEN k = 4 AND i % 2 = 1 THEN 800 END AS BIGINT) AS image_width,
+        |  CAST(CASE WHEN k % 3 = 1 AND i % 2 = 0 THEN 480
+        |       WHEN k = 4 AND i % 2 = 1 THEN 600 END AS BIGINT) AS image_height,
+        |  CASE WHEN k % 3 = 2 THEN
+        |    (CASE WHEN k % 2 = 0 THEN 'C ' ELSE 'S ' END) || i || ' ' || k END AS snippet,
+        |  CASE WHEN k % 3 = 2 THEN
+        |    (CASE WHEN i % 2 = 0 THEN '2024-01-02' ELSE '2023-12-31' END) END AS pub_date
+        |FROM documents d(i) CROSS JOIN range(6) t(k)
+        |WHERE k <> 2
+        |ORDER BY query, page, position, url""".stripMargin,
+
+    // closed-form regeneration of the AC-Engine fixture's expected rows
+    // (SerpGen.closedFormAcJson): item k=1 url-less -> skipped; explicit
+    // position 50+k on even k, the 1-based kept-ordinal (k+1 below the
+    // gap, k above = k here since the gap is at 1) on odd k
+    "q79_serp_ac" ->
+      """SELECT 'query ' || (i % 7) AS query,
+        |  (i % 3) + 1 AS page,
+        |  CASE WHEN k % 2 = 0 THEN 50 + k
+        |       WHEN k < 1 THEN k + 1 ELSE k END AS position,
+        |  CASE WHEN k % 3 = 1 THEN 'images' WHEN k % 3 = 2 THEN 'news' ELSE 'web' END AS category,
+        |  'T ' || i || ' ' || k AS title,
+        |  'https://a' || k || '.example.org/d' || i AS url,
+        |  (CASE WHEN k % 2 = 0 THEN 'D ' ELSE 'S ' END) || i || ' ' || k AS description,
+        |  CASE WHEN i % 2 = 0 THEN 'src' || i ELSE 'AC-Engine' END AS source,
+        |  CASE WHEN k % 3 = 1 AND i % 2 = 0
+        |    THEN 'https://im.example.org/' || i || '/' || k END AS image_url,
+        |  CAST(CASE WHEN k % 3 = 1 AND i % 2 = 0 THEN 320 END AS BIGINT) AS image_width,
+        |  CAST(CASE WHEN k % 3 = 1 AND i % 2 = 0 THEN 240 END AS BIGINT) AS image_height,
+        |  CASE WHEN k % 3 = 2 THEN 'S ' || i || ' ' || k END AS snippet,
+        |  CASE WHEN k % 3 = 2 AND i % 2 = 0 THEN '2024-02-03' END AS pub_date
+        |FROM documents d(i) CROSS JOIN range(6) t(k)
+        |WHERE k <> 1
+        |ORDER BY query, page, position, url""".stripMargin,
+
+    // every branch of the template renderer is a pure doc_id concatenation:
+    // path keeps '/', query encodes space+&, host lowercases and strips
+    // '!', raw passes through, {{miss}}/{{q|upper}} stay verbatim, \{{
+    // unescapes, and renderText leaves filters inert
+    "q80_url_template" ->
+      """SELECT doc_id,
+        |  'https://api.example.org/a%20b/c' || doc_id || '/item?q=x%20y%26' || doc_id ||
+        |    '&h=ex-' || doc_id || '.org&r=v' || doc_id ||
+        |    '&m={{miss}}&u={{q|upper}}&e={{esc}}' AS rendered_url,
+        |  't=x y&' || doc_id || ' h=EX-' || doc_id || '.Org! r=v' || doc_id ||
+        |    ' m={{miss}}' AS rendered_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent recomputation: DuckDB's own base64/md5 builtins must
+    // reproduce the JVM key scheme byte-for-byte
+    "q81_kv_keys" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    'job' || (doc_id % 5) AS job_id,
+        |    'https://h' || doc_id || '.example.org/p/' || doc_id AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'crawl-data-' || job_id || '-' || to_base64(encode(url)) AS crawl_key,
+        |  'screenshot' || (CASE WHEN doc_id % 4 = 0 THEN '-fullPage' ELSE '' END) ||
+        |    '-' || job_id || '-' || substr(md5(url), 1, 8) || '.jpeg' AS shot_key
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // 5 http(s) links per page (fragment/mailto never count); honoring
+    // nofollow keeps only the untagged a and e anchors, and a meta-robots
+    // nofollow/none page (doc_id%5 in 0,1) contributes nothing
+    "q82_nofollow_links" ->
+      """SELECT doc_id,
+        |  CAST(5 AS BIGINT) AS n_links,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 0 ELSE 2 END AS BIGINT) AS n_followed,
+        |  CASE WHEN doc_id % 5 IN (0, 1) THEN ''
+        |    ELSE 'https://h' || doc_id || '.example.org/a,https://h' || doc_id || '.example.org/e'
+        |  END AS followed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the wave-split priority schedule (see the q83
+    // query comment): canonical order within depth 1 is (priority, urlNorm),
+    // seq is wave-major off a single host, generation advances every
+    // 64 = waves*budget ranks
+    "q83_crawl_priority" ->
+      """WITH c AS (
+        |  SELECT i, (i * 37) % 100 AS pr,
+        |    'https://h0.example.test/c' || lpad(CAST(i AS VARCHAR), 3, '0') AS url
+        |  FROM range(150) t(i)),
+        |r AS (
+        |  SELECT url, row_number() OVER (ORDER BY pr, url) - 1 AS rk FROM c)
+        |SELECT 'rankjob' AS jobId, CAST(0 AS BIGINT) AS seq,
+        |  'https://h0.example.test/p0' AS url,
+        |  'https://h0.example.test/p0' AS urlNorm,
+        |  CAST(0 AS INTEGER) AS depth, CAST(0 AS INTEGER) AS attempt,
+        |  CAST(200 AS INTEGER) AS status, TRUE AS success, TRUE AS terminal,
+        |  CAST(0 AS INTEGER) AS generation
+        |UNION ALL
+        |SELECT 'rankjob', CAST(rk + 1 AS BIGINT), url, url,
+        |  CAST(1 AS INTEGER), CAST(0 AS INTEGER), CAST(200 AS INTEGER),
+        |  TRUE, TRUE, CAST(1 + rk // 64 AS INTEGER)
+        |FROM r
+        |ORDER BY seq""".stripMargin,
 
     "q16_url_normalize" ->
       """SELECT doc_id,

@@ -36,7 +36,11 @@ final class Psl private (
     var suffix = labels(n - 1)
     // grow the candidate tail one label at a time; set probes are O(1)
     while (k <= n) {
-      if (exception.contains(suffix)) return k - 1 // !rule: suffix is one shorter
+      // !rule: suffix is one label shorter. Clamped at 1: spec-conforming
+      // PSL data has no 1-label exception rules, but a custom rule set
+      // containing one ("!foo") must not yield an empty public suffix —
+      // the prevailing-"*" floor (every bare TLD is its own suffix) wins.
+      if (exception.contains(suffix)) return math.max(1, k - 1)
       if (exact.contains(suffix) && k > best) best = k
       // "*.ck" matches any 2-label tail ending in ck: tail-minus-head in wildcard
       if (k >= 2) {

@@ -750,11 +750,23 @@ final class CrawlEngine(
           } else {
             val ex = Extractor.extract(r.url, html, cfg.formats,
               honorNofollow = cfg.honorNofollow)
-            CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
+            val row = CrawlEngine.ExtractedRow(r.jobId, r.seq, r.url, r.urlNorm, r.host, r.depth,
               r.attempt, 200, success = true, terminal = true,
               ex.title, ex.markdown.getOrElse(""), ex.text.getOrElse(""),
               ex.html.getOrElse(""), ex.rawHtml.getOrElse(""), ex.links,
               ex.metadata, ts, 1L, genV)
+            // per-page hook (CrawlConfig.pageHook): content fields only —
+            // scheduling identity stays engine-owned (see CrawlModel)
+            cfg.pageHook match {
+              case Some(h) =>
+                val out = h(PageResult(row.jobId, row.seq, row.url, row.urlNorm,
+                  row.host, row.depth, row.attempt, row.status, row.success,
+                  row.terminal, row.title, row.markdown, row.text, row.htmlClean,
+                  row.links.length, row.generation))
+                row.copy(title = out.title, markdown = out.markdown,
+                  text = out.text, htmlClean = out.htmlClean)
+              case None => row
+            }
           }
         }
       }
@@ -1270,8 +1282,25 @@ object CrawlEngine {
       robots: Map[String, graft.core.Robots.RobotRules],
       base: Long, host: String): Long =
     if (cfg.crawlDelayEpochSeconds <= 0) base
-    else CrawlConfig.hostBudgetWithDelay(base, cfg.crawlDelayEpochSeconds,
-      robots.get(host).flatMap(_.crawlDelay(cfg.userAgent)))
+    else {
+      // `host` is the politeness key. In domain mode that key is the
+      // eTLD+1 while robots rules are keyed by actual hostnames, so the
+      // group's quota is the MOST CONSERVATIVE member's: max Crawl-delay
+      // (= min budget) across the group's hosts — a site's strictest
+      // subdomain governs the shared budget, instead of the old silent
+      // fall-through to the uncapped base when no robots entry matched
+      // the group key verbatim.
+      val delay: Option[Double] =
+        if (!cfg.politenessByDomain)
+          robots.get(host).flatMap(_.crawlDelay(cfg.userAgent))
+        else {
+          val ds = robots.iterator.collect {
+            case (h, r) if politeKey(cfg, h) == host => r.crawlDelay(cfg.userAgent)
+          }.flatten.toSeq
+          if (ds.isEmpty) None else Some(ds.max)
+        }
+      CrawlConfig.hostBudgetWithDelay(base, cfg.crawlDelayEpochSeconds, delay)
+    }
 
   /** One daemon thread for the overlapped small-step results write. A single
     * thread (not a pool): at most one superstep runs per engine, and engines

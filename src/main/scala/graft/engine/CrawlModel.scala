@@ -128,14 +128,29 @@ final case class CrawlConfig(
     // (urlNorm -> rank) map, with a constant default for unranked URLs.
     // None = FIFO (the default, reference-exact traces).
     priorityOf: Option[String => Long] = None,
+    // per-page result hook (§2.10): the analog of the reference's
+    // `EngineOptions.requestHandler` (types/engine.ts:25-26) — a PURE,
+    // serializable function applied to every SUCCESSFUL page's result
+    // inside the extract kernel, before the results write. The hook sees
+    // the typed PageResult view (content + identity fields); only the
+    // CONTENT fields it returns (title, markdown, text, htmlClean) are
+    // merged back — scheduling identity (seq/depth/status/...) is
+    // engine-owned and ignored if modified, so the canonical crawl order
+    // and the trace are unchanged BY CONSTRUCTION, hook or not. Runs
+    // executor-side in task closures (like priorityOf); at deployment
+    // scale any lookup state it closes over should be a broadcast.
+    // None = identity (the default, byte-exact results).
+    pageHook: Option[PageResult => PageResult] = None,
     // politeness grouping at SITE granularity: when on, the per-step fetch
     // budget is keyed by the registrable domain (core/Psl eTLD+1) instead
     // of the hostname — a crawler that hits a.shop.example and
     // b.shop.example concurrently is still hammering one site (and one
     // origin server, usually). Grouping only: canonical order, waves and
-    // the limit cut are unchanged. The robots Crawl-delay quota is then
-    // looked up by the group key too (domain-granular approximation —
-    // host-granular delay composition needs host mode). Off by default:
+    // the limit cut are unchanged. The robots Crawl-delay quota for a
+    // group is the most conservative member's: the max Crawl-delay (= min
+    // per-wave budget) across the group's robots-known hosts, so a strict
+    // subdomain governs the shared budget (CrawlEngine.effectiveBudget).
+    // Off by default:
     // the reference's Crawlee politeness is per-host (its
     // maxConcurrency/sameDomainDelay operate on the queue's unique-key
     // host), so traces stay reference-exact unless a job opts in.

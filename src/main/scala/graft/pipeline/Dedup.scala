@@ -139,15 +139,31 @@ object Dedup {
     * recomputes for both sides of the LSH self-join. The cached frames are
     * tiny — (id, shingle hashes) / (id, numHashes longs). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    signedFrames(df, textCol, idCol, numHashes, shingleSize).sig
+
+  /** The two cached frames behind [[minhashSignatures]], with a release
+    * hook. One-shot pipelines can ignore it (caches die with the session);
+    * LONG-LIVED sessions running repeated batches (e.g. a daily
+    * [[incrementalNearDup]] loop) must call [[SignedFrames.unpersist]]
+    * after materializing each batch's results, or executor storage grows
+    * by two cached frames per batch forever. */
+  final class SignedFrames private[Dedup] (val sig: DataFrame, shh: DataFrame) {
+    def unpersist(): Unit = { sig.unpersist(); shh.unpersist(); () }
+  }
+
+  def signedFrames(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): SignedFrames = {
     val shingleUdf = udf((t: String) => shingleHashArray(t, shingleSize))
     val sigUdf = udf((hs: Seq[Long]) => minhashFromHashes(hs.toArray, numHashes))
-    df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("shh"))
+    val shh = df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("shh"))
       .filter(size(col("shh")) > 0)
       .cache()
+    val sig = shh
       .select(col("id"), sigUdf(col("shh")).as("sig"))
       .filter(size(col("sig")) === numHashes)
       .cache()
+    new SignedFrames(sig, shh)
   }
 
   /** (band, bucket, id, sig) LSH rows of a signature frame — `bands` rows
@@ -183,9 +199,19 @@ object Dedup {
   def incrementalNearDup(indexBands: DataFrame, delta: DataFrame,
       textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.7): DataFrame =
+    incrementalNearDupSigned(indexBands,
+      signedFrames(delta, textCol, idCol, numHashes, shingleSize),
+      numHashes, bands, threshold)
+
+  /** [[incrementalNearDup]] over pre-built delta signatures: the form a
+    * long-lived daily-delta loop should call — build [[signedFrames]] per
+    * batch, materialize the matches, then `frames.unpersist()` so executor
+    * storage stays O(one batch) across an unbounded run. */
+  def incrementalNearDupSigned(indexBands: DataFrame, deltaFrames: SignedFrames,
+      numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val dSig = minhashSignatures(delta, textCol, idCol, numHashes, shingleSize)
-    val dBands = lshBands(dSig, numHashes, bands)
+    val dBands = lshBands(deltaFrames.sig, numHashes, bands)
       .select(col("band"), col("bucket"), col("id").as("delta_id"), col("sig").as("sig_d"))
     val ix = indexBands
       .select(col("band"), col("bucket"), col("id").as("index_id"), col("sig").as("sig_i"))

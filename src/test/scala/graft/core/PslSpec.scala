@@ -64,6 +64,17 @@ class PslSpec extends AnyFunSuite {
     assert(p.registrable("deep.q.qux") == "q.qux")
   }
 
+  test("degenerate 1-label exception rule clamps to a 1-label suffix") {
+    // "!foo" is non-spec-conforming (real PSL data has no 1-label
+    // exceptions); it must degrade to the prevailing-"*" behavior, not an
+    // empty public suffix / bare-label registrable
+    val p = Psl(Seq("!foo", "*"))
+    assert(p.publicSuffix("foo") == "foo")
+    assert(p.publicSuffix("a.foo") == "foo")
+    assert(p.registrable("a.foo") == "a.foo")
+    assert(p.registrable("b.a.foo") == "a.foo")
+  }
+
   test("properties on generated hosts: suffix chain + idempotence") {
     val rnd = new scala.util.Random(7)
     val labels = Seq("a", "bb", "www", "cdn", "shop", "x1")

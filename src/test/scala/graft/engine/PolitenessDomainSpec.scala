@@ -81,4 +81,22 @@ class PolitenessDomainSpec extends AnyFunSuite {
     val oracle = SequentialOracle.crawl(pagesByNorm, Seq(cfg("d3", byDomain = true)))
     assert(run("d3", byDomain = true) == oracle.trace.sortBy(_.seq).map(_.url))
   }
+
+  test("domain-mode Crawl-delay: the strictest member host governs the group") {
+    // robots keyed by HOSTNAMES; the group key is the eTLD+1. a.sitea
+    // declares delay 2 (budget 5), b.sitea declares 10 (budget 1): the
+    // group budget must be the min (1), not the uncapped base from a
+    // missed verbatim lookup of key "sitea.test".
+    val robots = Map(
+      "a.sitea.test" -> graft.core.Robots.parse("User-agent: *\nCrawl-delay: 2"),
+      "b.sitea.test" -> graft.core.Robots.parse("User-agent: *\nCrawl-delay: 10"))
+    val c = cfg("dd", byDomain = true).copy(crawlDelayEpochSeconds = 10.0)
+    assert(CrawlEngine.effectiveBudget(c, robots, base = 8L, "sitea.test") == 1L)
+    // a group with no robots-known member keeps the base
+    assert(CrawlEngine.effectiveBudget(c, robots, base = 8L, "siteb.test") == 8L)
+    // host mode unchanged: verbatim hostname lookup
+    val ch = cfg("dh", byDomain = false).copy(crawlDelayEpochSeconds = 10.0)
+    assert(CrawlEngine.effectiveBudget(ch, robots, base = 8L, "a.sitea.test") == 5L)
+    assert(CrawlEngine.effectiveBudget(ch, robots, base = 8L, "sitea.test") == 8L)
+  }
 }

@@ -30,6 +30,19 @@ class UrlQualitySpec extends AnyFunSuite {
     assert(frag.pathDepth == 1 && frag.queryParams == 0 && frag.hyphens == 0)
   }
 
+  test("word-level matching: embedded substrings do not trip the hard gate") {
+    // blocklist words hidden inside longer tokens are NOT hits
+    assert(!UrlQuality.score("https://essexxx.example.org/").blocked)
+    assert(!UrlQuality.score("https://sexpo.org/expo-hall").blocked)
+    assert(!UrlQuality.score("https://my.test/ids/abcviagraxyz").blocked)
+    // but delimiter-separated whole tokens are, on every URL part
+    assert(UrlQuality.score("https://ads.test/serve?kw=viagra").blocked)
+    assert(UrlQuality.score("https://x.test/tag/porn/index").blocked)
+    assert(UrlQuality.score("https://porn.test/").blocked)
+    // underscores delimit too
+    assert(UrlQuality.score("https://h.test/a_casino_b").blocked)
+  }
+
   test("case-insensitive matching; custom blocklist; degenerate inputs") {
     assert(UrlQuality.score("https://XXX-Movies0.com/").blocked)
     assert(!UrlQuality.score("https://fine.test/x", badwords = Seq("zzz")).blocked)
