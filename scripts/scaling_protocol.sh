@@ -44,6 +44,20 @@ case "${1:-protocol}" in
       line=$(SPARK_GRAFT_SEEN=$mode SPARK_GRAFT_SHUFFLE=32 run_java graft.ScalingBench run 8 2>/dev/null | tail -1)
       echo "{\"seen\":\"$mode\",${line#\{}"
     done ;;
+  ab1m)
+    # seen-filter A/B at the 10^6-key horizon (VERDICT r3 #7): same engine,
+    # same corpus, sidecar vs driver seen mode at 32 cores. Thin pages
+    # (~1 KB) so the frontier/seen machinery — the thing that differs —
+    # dominates; a separate corpus dir so the 100k protocol corpus stays.
+    export SPARK_GRAFT_SCALING_DIR=/tmp/graft_scaling_corpus_1m
+    if [ ! -d "$SPARK_GRAFT_SCALING_DIR" ]; then
+      SPARK_GRAFT_PARAGRAPHS=2 SPARK_GRAFT_SHUFFLE=128 \
+        run_java graft.ScalingBench prep 1000000 64
+    fi
+    for mode in sidecar driver; do
+      line=$(SPARK_GRAFT_SEEN=$mode SPARK_GRAFT_SHUFFLE=128 run_java graft.ScalingBench run 32 2>/dev/null | tail -1)
+      echo "{\"seen\":\"$mode\",\"horizon\":1000000,${line#\{}"
+    done ;;
   protocol)
     for r in 1 2 3; do
       for c in 2 8 32; do

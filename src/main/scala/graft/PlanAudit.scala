@@ -62,7 +62,10 @@ object PlanAudit {
       "q75_domain_graph"     -> "PLD collapse below the single map-side-combined aggregate exchange; countDistinct adds its standard two-phase expand, never a second scan",
       "q76_rank_buckets"     -> "exact global rank with NO Window operator: checkpointed range partitioning + broadcast offsets (the q50 machinery), bucket as an integer-comparison projection",
       "q77_url_quality"      -> "URL scoring as a pure kernel projection over the scan — no exchange before the ordered output",
-      "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate")
+      "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate",
+      "q43_dup_clusters"     -> "alternating-star CC: the visible plan is the LAST round over a checkpointed LogicalRDD root — constant Catalyst size over any round count (the q64/q74 property); only narrow (id, rep) pairs reach the round's exchanges, never text",
+      "q44_link_pagerank"    -> "integer PageRank: last round = one src-keyed partial-combined aggregate + the contribution join over checkpointed roots; degree folded before the loop, so rounds exchange only (id, rank) longs",
+      "q45_curate_neardup"   -> "near-dup curation: LSH signing/banding confined to exact-dedup SURVIVORS (the keep-join sits below the signature UDFs); band-bucket self-join exchanges narrow (band, bucket, id, sig) rows — document text never shuffles")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of signature queries\n\n")
@@ -88,8 +91,81 @@ object PlanAudit {
       sb.append("\n```\n</details>\n")
     }
 
+    // ---- q24 engine stages: the crawl's per-superstep plans are built
+    // inside CrawlEngine (trace()'s own plan is just the committed parquet
+    // read), so they are captured where they are built via
+    // Settings.capturePlans and dumped here — BOTH gear paths: the
+    // small-step/fast-expand plan a test-sized crawl takes, and the
+    // salted-window + shuffled-hash wide path the 100 TB shape takes.
+    val crawlStages = Seq(
+      "fetch-join-broadcast" -> "small batches: frontier batch broadcast against the partition-cached corpus — the corpus is never shuffled or re-hashed",
+      "expand-fast"          -> "gate-bounded expansion as one narrow coalesce(1) pass + broadcast seen anti-join — no hash exchange, no AQE stage round-trip",
+      "schedule-wide"        -> "politeness + limit as SALTED two-phase windows (rank within (job, key, salt) pre-cut, then within (job, key)) — no single-partition window on a hot host",
+      "fetch-join-shuffled-hash" -> "large batches: pinned shuffled-hash join, build = frontier batch side (AQE flip-flopping near thresholds made benches bimodal)",
+      "expand-wide"          -> "candidate dedup shuffled by (jobId, urlNorm) [shard-keyed in sidecar mode], bloom pre-filter tags before the exact anti-join; enqueue caps as the same salted two-phase windows")
+    capturedCrawlPlans(spark).foreach { plans =>
+      crawlStages.foreach { case (key, why) =>
+        plans.get(key).foreach { formatted =>
+          sb.append(s"\n## q24 engine stage: $key\n\n**Wanted:** $why\n\n")
+          val evidence = formatted.linesIterator.filter { l =>
+            l.contains("Scan parquet") || l.contains("PushedFilters") ||
+            l.contains("ReadSchema") || l.contains("Join") ||
+            l.contains("Exchange") || l.contains("WholeStageCodegen") ||
+            l.contains("Window") || l.contains("Coalesce") ||
+            l.contains("TakeOrderedAndProject") || l.contains("InMemory")
+          }.map(_.trim).take(24).toSeq
+          sb.append("```\n").append(evidence.mkString("\n")).append("\n```\n")
+          sb.append("<details><summary>full plan</summary>\n\n```\n")
+          sb.append(formatted.take(6000))
+          sb.append("\n```\n</details>\n")
+        }
+      }
+    }
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
-    println(s"[plan-audit] wrote $out (${audited.size} queries)")
+    println(s"[plan-audit] wrote $out (${audited.size} queries + q24 engine stages)")
     spark.stop()
+  }
+
+  /** Two tiny SiteGen crawls with Settings.capturePlans on: default gears
+    * (small-step schedule, fast expand, broadcast fetch) and forced-wide
+    * gears (salted windows, wide expand, shuffled-hash fetch) — merged so
+    * each stage key keeps its first-captured plan. */
+  private def capturedCrawlPlans(
+      spark: SparkSession): Option[Map[String, String]] = {
+    import spark.implicits._
+    import graft.engine.{CrawlConfig, CrawlEngine}
+    def corpus: org.apache.spark.sql.DataFrame = {
+      val sizes = graft.fixtures.SiteGen.hostSizes(300, 6)
+      spark.range(sizes.map(_.toLong).sum).mapPartitions { it =>
+        it.map { idx =>
+          val (h, p) = graft.fixtures.SiteGen.hostPage(sizes, idx)
+          (graft.fixtures.SiteGen.pageUrl(h, p),
+            graft.fixtures.SiteGen.pageHtml(42L, h, p, sizes).getBytes("UTF-8"))
+        }
+      }.toDF("url", "html")
+    }
+    def run(st: CrawlEngine.Settings): Map[String, String] = {
+      val work = java.nio.file.Files.createTempDirectory("plan-audit-crawl")
+      val eng = new CrawlEngine(spark, corpus, work.toString,
+        robotsBodies = graft.fixtures.SiteGen.robotsRows(6).toMap,
+        settings = st)
+      eng.run(Seq(CrawlConfig(
+        jobId = "audit", seeds = Seq(graft.fixtures.SiteGen.pageUrl(0, 0)),
+        strategy = "all", maxDepth = 12, limit = 150,
+        hostBudgetPerStep = 64, politenessWaves = 2, respectRobots = true)))
+      val plans = eng.capturedPlans.toMap
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(work.toFile)
+      plans
+    }
+    val base = CrawlEngine.Settings(
+      bloomExpectedPerShard = 100000L, capturePlans = true)
+    val fastGear = run(base)
+    val wideGear = run(base.copy(
+      fastExpandMaxPend = 0L, saltMinBatch = 0L, broadcastBatchMax = 0L))
+    Some(fastGear ++ wideGear.view.filterKeys(k => !fastGear.contains(k)).toMap)
   }
 }

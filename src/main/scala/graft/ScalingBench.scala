@@ -25,7 +25,12 @@ object ScalingBench {
   private val corpusDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", "/tmp/graft_scaling_corpus")
   private val seed = 42L
   private val branching = 16
-  private val paragraphs = 60 // ~20 KB html/page, a few ms of kernel work
+  // ~20 KB html/page default (a few ms of kernel work). The seen-set
+  // horizon A/B (scaling_protocol.sh ab1m) preps THIN pages instead
+  // (SPARK_GRAFT_PARAGRAPHS=2, ~1 KB): at a 10^6-key horizon the object
+  // under test is the frontier/seen machinery, not the extract kernel, and
+  // thin pages keep a million-page corpus RAM-resident.
+  private val paragraphs = sys.env.getOrElse("SPARK_GRAFT_PARAGRAPHS", "60").toInt
 
   def main(args: Array[String]): Unit = args.toList match {
     case "prep" :: rest =>

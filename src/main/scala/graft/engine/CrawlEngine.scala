@@ -41,6 +41,17 @@ final class CrawlEngine(
   import spark.implicits._
   private val ckpt = new Checkpoint(workDir)
 
+  /** First-occurrence formatted plans per superstep stage, recorded when
+    * `Settings.capturePlans` is on (PlanAudit / PLANS.md evidence for the
+    * iterative engine — trace()'s own plan is just the committed-parquet
+    * read, so the per-stage plans are captured where they are built). */
+  val capturedPlans: scala.collection.mutable.LinkedHashMap[String, String] =
+    scala.collection.mutable.LinkedHashMap.empty
+  private def capturePlan(key: String, df: org.apache.spark.sql.Dataset[_]): Unit =
+    if (settings.capturePlans && !capturedPlans.contains(key))
+      capturedPlans(key) = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
   /**
    * The fetch side of J1, hash-partitioned on the join key ONCE and kept
    * (memory-and-disk). Without this, every superstep re-shuffles and
@@ -620,9 +631,11 @@ final class CrawlEngine(
               .withColumn("__r1", row_number().over(w1)).filter($"__r1" <= remCol).drop("__r1")
               .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= remCol).drop("__r2")
           }
-        val sortedBase = batchDf
+        val sortedDf = batchDf
           .orderBy(col("jobId") +: waveOrd: _*)
-          .drop("__wave").as[FrontierEntry].rdd
+          .drop("__wave")
+        capturePlan("schedule-wide", sortedDf)
+        val sortedBase = sortedDf.as[FrontierEntry].rdd
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val partStats: Array[(Int, Long, Map[String, Long])] = phase(gen, "seq-assign") {
           sortedBase.mapPartitionsWithIndex { case (pi, it) =>
@@ -693,6 +706,8 @@ final class CrawlEngine(
         seqed("jobId") === col("__mj") && seqed("urlNorm") === col("__mu"), "left_anti")
       .withColumn("__phtml", lit(null).cast("binary"))
     val fetched = hit.unionByName(miss)
+    capturePlan(if (batchCount <= settings.broadcastBatchMax) "fetch-join-broadcast"
+      else "fetch-join-shuffled-hash", fetched)
 
     // ------------------------------------------------------- extract kernel
     // One mapPartitions pass produces ALL formats + out-links; the links
@@ -1092,8 +1107,10 @@ final class CrawlEngine(
             .withColumn("__r2", row_number().over(w2)).filter($"__r2" <= capCol).drop("__r2")
             .as[FrontierEntry]
         }
+        capturePlan("expand-wide", out)
         out
       }
+    if (fastExpand) capturePlan("expand-fast", fresh)
 
     // next frontier = (pending - batch) ∪ retries ∪ fresh.
     // Deferrals and retries come out of ONE left-outer join of the pending
@@ -1354,7 +1371,12 @@ object CrawlEngine {
       // and template-derives only the frontier tail, so its cost is
       // O(templates + tail), never O(total seen); 1 is fine even at
       // 10^10-frontier scale, raise it only to shave driver actions.
-      trapRefreshEvery: Int = 1)
+      trapRefreshEvery: Int = 1,
+      // plan-audit hook (PlanAudit / PLANS.md): record each superstep
+      // stage's `explain("formatted")` (first occurrence per stage key)
+      // into `capturedPlans`. Analysis-only — never forces execution — and
+      // off by default: production supersteps pay zero cost.
+      capturePlans: Boolean = false)
 
   final case class SeqEntry(jobId: String, url: String, urlNorm: String, host: String,
       depth: Int, priority: Long, parentUrl: String, attempt: Int, seq: Long)
