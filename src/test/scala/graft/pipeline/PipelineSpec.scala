@@ -55,6 +55,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.contains((101L, 1L)) && m.contains((101L, 2L))) // exact copies matched
     assert(!m.exists(_._1 == 102L))                          // fresh text matches nothing
     assert(m.forall(_._1 >= 101L))                           // never corpus-vs-corpus
+
+    // the long-lived-loop form: pre-built delta signatures give identical
+    // matches, and unpersist() releases BOTH cached frames so a daily-delta
+    // session's executor storage stays O(one batch)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val frames = Dedup.signedFrames(delta, "text", "doc_id", numHashes = 32)
+    val m2 = Dedup.incrementalNearDupSigned(index, frames,
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select("delta_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(m2 == m, "signed form must match the one-shot form exactly")
+    frames.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "unpersist must release the batch's two cached frames")
   }
 
   test("simhash pigeonhole banding finds all pairs within hamming distance") {
