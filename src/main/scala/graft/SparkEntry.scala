@@ -1256,7 +1256,8 @@ object SparkEntry {
     }),
 
     // KV-store key scheme (F10, previously KvStoreSpec-only): the
-    // base64-url crawl-data key and the md5-prefix screenshot key (fullPage
+    // base64 (standard alphabet, +/ and padding — Base.ts:443) crawl-data
+    // key and the md5-prefix screenshot key (fullPage
     // variant every 4th doc) — DuckDB recomputes both with its own
     // base64/md5 builtins, so the hash/encoding contract is checked against
     // an independent implementation, not replayed.
@@ -2091,8 +2092,9 @@ object SparkEntry {
     * Round k replays the engine's batched acceptance bit-for-bit:
     * `cand k` ranks pair counts by (count DESC, left, right) over the same
     * minPairCount >= 2 gate; `acc k` applies the local-maxima rule (accept
-    * p iff no higher-ranked candidate shares a symbol) inside the same
-    * top-4096 window via a NOT-EXISTS self-join; `fin k` caps the batch at
+    * p iff no higher-ranked candidate shares a symbol or collides by
+    * concatenation — either merged string equal to a symbol of the other)
+    * inside the same top-4096 window via a NOT-EXISTS self-join; `fin k` caps the batch at
     * batchK = 8 and at the remaining 64-merge budget (`tot k` is the
     * running learned count); `w k` applies the accepted merges in rank
     * order as a fixed chain of 8 replaces, each slot an identity replace
@@ -2143,7 +2145,9 @@ object SparkEntry {
         |  WHERE p.rk <= 4096 AND NOT EXISTS (
         |    SELECT 1 FROM cand$k q
         |    WHERE q.rk < p.rk AND q.rk <= 4096
-        |      AND (q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r))
+        |      AND (q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r
+        |        OR (q.l || q.r) = p.l OR (q.l || q.r) = p.r
+        |        OR (p.l || p.r) = q.l OR (p.l || p.r) = q.r))
         |),
         |fin$k AS MATERIALIZED (
         |  SELECT l, r, c, arank,

@@ -114,14 +114,21 @@ final class CrawlEngine(
   private var robotsB: org.apache.spark.broadcast.Broadcast[Map[String, Robots.RobotRules]] = _
   private var budgetB: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = _
   private var wavesB: org.apache.spark.broadcast.Broadcast[Map[String, Long]] = _
+  private var delayIdxB: org.apache.spark.broadcast.Broadcast[Map[String, Map[String, Double]]] = _
   private def refreshBroadcasts(): Unit = {
     // unpersist (not destroy): a cached plan from the previous run may still
     // lazily reference the old broadcast; unpersist frees executor copies
     // while keeping it re-shippable if such a plan is re-evaluated
-    Seq(cfgB, robotsB, budgetB, wavesB).foreach(b =>
+    Seq(cfgB, robotsB, budgetB, wavesB, delayIdxB).foreach(b =>
       if (b != null) b.unpersist())
     cfgB = spark.sparkContext.broadcast(configs)
     robotsB = spark.sparkContext.broadcast(robotsRules)
+    // politeKey -> max Crawl-delay per opted-in job, built ONCE per run
+    // (robots + configs are run-constant). The schedule paths probe this
+    // instead of re-scanning the whole robots map (with a PSL politeKey
+    // computation per entry) from per-row UDFs — the old shape was
+    // O(frontierRows x robotsHosts) per superstep under politenessByDomain.
+    delayIdxB = spark.sparkContext.broadcast(CrawlEngine.crawlDelayIndex(configs, robotsRules))
     budgetB =
       spark.sparkContext.broadcast(configs.map { case (j, c) => j -> c.hostBudgetPerStep.toLong })
     wavesB =
@@ -529,11 +536,11 @@ final class CrawlEngine(
         val bb = budgetB
         val wb = wavesB
         val cfgBv = cfgB
-        val robBv = robotsB
+        val idxBv = delayIdxB
         val remB = spark.sparkContext.broadcast(remaining)
         val scheduled = pend.coalesce(1).mapPartitions { it =>
           val budgets = bb.value; val waves = wb.value; val rem = remB.value; val off = offB.value
-          val cfgs = cfgBv.value; val robots = robBv.value
+          val cfgs = cfgBv.value; val delayIdx = idxBv.value
           it.toArray.groupBy(_.jobId).iterator.flatMap { case (j, rs) =>
             val base = budgets(j)
             val wavesJ = waves(j)
@@ -549,7 +556,7 @@ final class CrawlEngine(
             val hostN = scala.collection.mutable.HashMap[String, Long]()
             val hostB = scala.collection.mutable.HashMap[String, Long]()
             def budgetOf(h: String): Long = hostB.getOrElseUpdate(h,
-              CrawlEngine.effectiveBudget(cfg, robots, base, h))
+              CrawlEngine.effectiveBudgetIndexed(cfg, delayIdx.getOrElse(j, Map.empty), base, h))
             val staged = scala.collection.mutable.ArrayBuffer[(Long, FrontierEntry)]()
             sorted.foreach { e =>
               // group key = host, or eTLD+1 under politenessByDomain
@@ -590,7 +597,7 @@ final class CrawlEngine(
             val bb = budgetB
             val wb = wavesB
             val cfgBv = cfgB
-            val robBv = robotsB
+            val idxBv = delayIdxB
             // per-(job, host) budget: hostBudgetPerStep capped by the robots
             // Crawl-delay quota when the job opted in. The opted-out path
             // (epoch <= 0, every existing caller) is a single branch to the
@@ -600,10 +607,12 @@ final class CrawlEngine(
             val keyCol = udf((j: String, h: String) =>
               CrawlEngine.politeKey(cfgBv.value(j), h)).apply($"jobId", $"host")
             val budgetCol = udf((j: String, k: String) =>
-              CrawlEngine.effectiveBudget(cfgBv.value(j), robBv.value, bb.value(j), k))
+              CrawlEngine.effectiveBudgetIndexed(
+                cfgBv.value(j), idxBv.value.getOrElse(j, Map.empty), bb.value(j), k))
               .apply($"jobId", $"__pk")
             val capCol = udf { (j: String, k: String) =>
-              val b = CrawlEngine.effectiveBudget(cfgBv.value(j), robBv.value, bb.value(j), k)
+              val b = CrawlEngine.effectiveBudgetIndexed(
+                cfgBv.value(j), idxBv.value.getOrElse(j, Map.empty), bb.value(j), k)
               if (b >= Int.MaxValue.toLong) Long.MaxValue else b * wb.value(j)
             }.apply($"jobId", $"__pk")
             val w2 = Window.partitionBy($"jobId", $"__pk").orderBy(ordCols: _*)
@@ -1283,18 +1292,46 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
-  /** Effective per-(job, host) politeness budget: the job's
-    * hostBudgetPerStep capped by the robots Crawl-delay quota when the job
-    * opted in (CrawlConfig.crawlDelayEpochSeconds > 0; C2×C3). Pure — safe
-    * inside task closures (never captures the engine). Cost when opted in
-    * is one robots-group scan per lookup; callers on the hot small-step
-    * path memoize per host. */
   /** Politeness grouping key: hostname, or eTLD+1 when the job opted into
     * site-granular budgets (CrawlConfig.politenessByDomain). Used by BOTH
     * schedule paths and the sequential oracle — one definition. */
   private[engine] def politeKey(cfg: CrawlConfig, host: String): String =
     if (cfg.politenessByDomain) graft.core.Psl.snapshot.registrable(host) else host
 
+  /** Run-constant index behind the hot-path budget probes: for each job
+    * that opted into the Crawl-delay quota, politeKey -> the group's max
+    * Crawl-delay (most-conservative member, same rule `effectiveBudget`
+    * documents). One driver-side pass over the robots map per opted-in job
+    * at broadcast-refresh time; `effectiveBudgetIndexed` is then a single
+    * map probe per row in BOTH politeness modes. Equivalence with the
+    * direct-scan `effectiveBudget` is pinned by PolitenessDomainSpec. */
+  private[engine] def crawlDelayIndex(cfgs: Map[String, CrawlConfig],
+      robots: Map[String, graft.core.Robots.RobotRules]): Map[String, Map[String, Double]] =
+    cfgs.collect { case (j, cfg) if cfg.crawlDelayEpochSeconds > 0 =>
+      val m = scala.collection.mutable.HashMap.empty[String, Double]
+      robots.foreach { case (h, r) =>
+        r.crawlDelay(cfg.userAgent).foreach { d =>
+          val k = politeKey(cfg, h)
+          if (!m.get(k).exists(_ >= d)) m(k) = d
+        }
+      }
+      j -> m.toMap
+    }
+
+  /** `effectiveBudget` with the group scan replaced by a probe of the
+    * precomputed [[crawlDelayIndex]] entry for the job (empty map when the
+    * job is absent = no robots delays). `key` is the politeKey. */
+  private[engine] def effectiveBudgetIndexed(cfg: CrawlConfig,
+      delayIdx: Map[String, Double], base: Long, key: String): Long =
+    if (cfg.crawlDelayEpochSeconds <= 0) base
+    else CrawlConfig.hostBudgetWithDelay(base, cfg.crawlDelayEpochSeconds, delayIdx.get(key))
+
+  /** Effective per-(job, politeKey) politeness budget: the job's
+    * hostBudgetPerStep capped by the robots Crawl-delay quota when the job
+    * opted in (CrawlConfig.crawlDelayEpochSeconds > 0; C2×C3). Pure — safe
+    * inside task closures. This is the SEMANTIC DEFINITION (direct robots
+    * scan), used by the sequential oracle and specs; both engine schedule
+    * paths take the equivalent O(1) probe [[effectiveBudgetIndexed]]. */
   private[engine] def effectiveBudget(cfg: CrawlConfig,
       robots: Map[String, graft.core.Robots.RobotRules],
       base: Long, host: String): Long =

@@ -38,19 +38,32 @@ import org.apache.spark.sql.types._
  * independent of cluster size. The standard remedy is to learn several
  * SYMBOL-DISJOINT merges per round. The acceptance rule here is the
  * local-maxima rule: rank candidates by (count DESC, left, right) and
- * accept candidate p iff NO higher-ranked candidate shares a symbol with
- * p (then cap at `batchK` and at the remaining merge budget). Accepted
- * pairs are pairwise disjoint by construction, so their round-start
- * counts are exactly the counts a sequential executor would have seen
- * when its turn came, and applying them in rank order is
- * order-independent. The rule is a pure function of the ranked candidate
- * list — partitioning-independent, and replayable in SQL as a
- * NOT-EXISTS self-join (the q67 oracle does exactly that). Candidates
- * are ranked distributedly and only the top `candTopM` rows reach the
- * driver; acceptance is decided within that window on both sides, so
- * engine and oracle stay bit-equal. `batchK = 1` (the default) accepts
- * exactly the rank-1 candidate — the classic sequential algorithm,
- * unchanged.
+ * accept candidate p iff NO higher-ranked candidate q conflicts with p,
+ * where conflict = sharing a symbol OR a concatenation collision (q's
+ * merged string l+r equals a symbol of p, or p's merged string equals a
+ * symbol of q) — the collision arm matters when a merged string equals a
+ * pre-existing symbol (merging (a,b) mints new "ab" symbols that change
+ * the true count of a candidate referencing an older "ab"). Accepted
+ * pairs are then capped at `batchK` and the remaining merge budget.
+ * Under this rule, applying one accepted pair provably cannot create or
+ * destroy occurrences of another, so each accepted pair's round-start
+ * count is EXACTLY the count a sequential executor would see at its
+ * turn, and applying the batch is order-independent (BpeSpec pins both
+ * generatively). What batching does NOT guarantee is the classic greedy
+ * SEQUENCE: a merge can mint a brand-new pair whose count outranks the
+ * remaining round candidates, and sequential greedy would take that new
+ * pair next while the batch has already committed to a round-start
+ * candidate (BpeSpec pins a minimal divergence: "cab"x10 + "de"x3 —
+ * sequential follows (a,b) with (c,ab); the batch accepts (d,e) in the
+ * same round). Batched learning is thus a deterministic,
+ * partitioning-independent approximation with exact counts; `batchK = 1`
+ * (the default) accepts exactly the rank-1 candidate — the classic
+ * sequential algorithm, unchanged. The rule is a pure function of the
+ * ranked candidate list — replayable in SQL as a NOT-EXISTS self-join
+ * (the q67 oracle does exactly that). Candidates are ranked
+ * distributedly and only the top `candTopM` rows reach the driver;
+ * acceptance is decided within that window on both sides, so engine and
+ * oracle stay bit-equal.
  *
  * Determinism: ties in pair frequency break lexicographically on
  * (left, right) — byte order, partitioning-independent. Symbols are
@@ -115,19 +128,25 @@ object Bpe {
       if (cands.isEmpty) dry = true
       else {
         // local-maxima acceptance within the ranked window (see scaladoc):
-        // p is accepted iff no higher-ranked CANDIDATE shares a symbol.
+        // p is accepted iff no higher-ranked CANDIDATE shares a symbol or
+        // collides by concatenation (either merged string equals a symbol
+        // of the other) — the collision arms keep round-start counts exact
+        // when a merged string equals a pre-existing symbol.
         val budget = math.min(batchK, merges - learned.length)
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var i = 0
         while (i < cands.length && accepted.length < budget) {
           val p = cands(i)
           val (pl, pr) = (p.getString(0), p.getString(1))
+          val pm = pl + pr
           var conflict = false
           var j = 0
           while (j < i && !conflict) {
             val q = cands(j)
             val (ql, qr) = (q.getString(0), q.getString(1))
-            conflict = ql == pl || ql == pr || qr == pl || qr == pr
+            val qm = ql + qr
+            conflict = ql == pl || ql == pr || qr == pl || qr == pr ||
+              qm == pl || qm == pr || pm == ql || pm == qr
             j += 1
           }
           if (!conflict) accepted += ((pl, pr, p.getLong(2)))

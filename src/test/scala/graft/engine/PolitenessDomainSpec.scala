@@ -99,4 +99,42 @@ class PolitenessDomainSpec extends AnyFunSuite {
     assert(CrawlEngine.effectiveBudget(ch, robots, base = 8L, "a.sitea.test") == 5L)
     assert(CrawlEngine.effectiveBudget(ch, robots, base = 8L, "sitea.test") == 8L)
   }
+
+  test("indexed budget probe == direct robots scan (both modes, random maps)") {
+    // the engine's hot paths probe crawlDelayIndex via effectiveBudgetIndexed;
+    // this pins the O(1) probe to the semantic definition on randomized
+    // robots maps: mixed subdomain depths, delays present/absent, and hosts
+    // with no robots entry at all.
+    val rnd = new scala.util.Random(1205L)
+    val sites = Seq("sitea.test", "siteb.test", "sitec.example", "lone.org")
+    (1 to 40).foreach { trial =>
+      val hosts = sites.flatMap { s =>
+        (0 until rnd.nextInt(4)).map(i => s"sub$i.$s") ++
+          (if (rnd.nextBoolean()) Seq(s) else Nil)
+      }
+      val robots = hosts.flatMap { h =>
+        if (rnd.nextBoolean())
+          Some(h -> graft.core.Robots.parse(
+            if (rnd.nextBoolean()) s"User-agent: *\nCrawl-delay: ${1 + rnd.nextInt(12)}"
+            else "User-agent: *\nDisallow: /private"))
+        else None
+      }.toMap
+      Seq(true, false).foreach { byDomain =>
+        val c = cfg(s"t$trial", byDomain).copy(crawlDelayEpochSeconds = 10.0)
+        val idx = CrawlEngine.crawlDelayIndex(Map(c.jobId -> c), robots)
+          .getOrElse(c.jobId, Map.empty)
+        val keys = (hosts ++ sites ++ Seq("unknown.test")).map(h =>
+          CrawlEngine.politeKey(c, h)).distinct
+        keys.foreach { k =>
+          assert(CrawlEngine.effectiveBudgetIndexed(c, idx, 8L, k) ==
+            CrawlEngine.effectiveBudget(c, robots, 8L, k),
+            s"trial=$trial byDomain=$byDomain key=$k robots=${robots.keys}")
+        }
+      }
+    }
+    // opted-out jobs never touch the index (and build none)
+    val cOff = cfg("off", byDomain = true)
+    assert(CrawlEngine.crawlDelayIndex(Map("off" -> cOff), Map.empty).isEmpty)
+    assert(CrawlEngine.effectiveBudgetIndexed(cOff, Map.empty, 8L, "x.test") == 8L)
+  }
 }

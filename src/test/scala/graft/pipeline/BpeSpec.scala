@@ -59,12 +59,39 @@ class BpeSpec extends AnyFunSuite {
     assert(out(0) == (("r", "e", 80L)))
   }
 
+  /** Ranked pair counts over a symbol table, (count DESC, l, r). */
+  private def rankedCands(words: Seq[(Seq[String], Long)], minPairCount: Long,
+      topM: Int): Seq[(Long, String, String)] = {
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+      pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+    pc.toSeq.collect { case ((l, r), c) if c >= minPairCount => (c, l, r) }
+      .sortBy { case (c, l, r) => (-c, l, r) }.take(topM)
+  }
+
+  /** The batched acceptance rule, bit-equal to the engine's: accept p iff
+    * no higher-ranked candidate shares a symbol or collides by
+    * concatenation (either merged string equal to a symbol of the other),
+    * capped at `budget`. */
+  private def acceptBatch(cands: Seq[(Long, String, String)],
+      budget: Int): Seq[(Long, String, String)] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    for ((cand, i) <- cands.zipWithIndex if acc.length < budget) {
+      val (_, l, r) = cand
+      val conflict = cands.take(i).exists { case (_, ql, qr) =>
+        ql == l || ql == r || qr == l || qr == r ||
+          (ql + qr) == l || (ql + qr) == r || (l + r) == ql || (l + r) == qr
+      }
+      if (!conflict) acc += cand
+    }
+    acc.toSeq
+  }
+
   /** Plain-Scala reference of the BATCHED learner (Bpe scaladoc): rank
-    * candidates by (count DESC, l, r), accept local maxima (no
-    * higher-ranked candidate shares a symbol) within the top-`topM`
-    * window, cap at batchK and the remaining budget, apply in rank order.
-    * Single-threaded, no Spark — the independent oracle the distributed
-    * implementation must match bit-for-bit. */
+    * candidates by (count DESC, l, r), accept via [[acceptBatch]] within
+    * the top-`topM` window, cap at batchK and the remaining budget, apply
+    * in rank order. Single-threaded, no Spark — the independent oracle the
+    * distributed implementation must match bit-for-bit. */
   private def refBatched(wordCounts: Map[String, Long], merges: Int, batchK: Int,
       minPairCount: Long = 2, topM: Int = 4096): Seq[(Int, String, String, Long)] = {
     var words: Map[String, Seq[String]] =
@@ -72,22 +99,11 @@ class BpeSpec extends AnyFunSuite {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var dry = false
     while (learned.length < merges && !dry) {
-      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((w, syms) <- words; i <- 0 until syms.length - 1)
-        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + wordCounts(w)
-      val cands = pc.toSeq.collect { case ((l, r), c) if c >= minPairCount => (c, l, r) }
-        .sortBy { case (c, l, r) => (-c, l, r) }.take(topM)
+      val cands = rankedCands(
+        words.toSeq.map { case (w, syms) => (syms, wordCounts(w)) }, minPairCount, topM)
       if (cands.isEmpty) dry = true
       else {
-        val budget = math.min(batchK, merges - learned.length)
-        val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
-        for ((cand, i) <- cands.zipWithIndex if acc.length < budget) {
-          val (c, l, r) = cand
-          val conflict = cands.take(i).exists { case (_, ql, qr) =>
-            ql == l || ql == r || qr == l || qr == r
-          }
-          if (!conflict) acc += ((c, l, r))
-        }
+        val acc = acceptBatch(cands, math.min(batchK, merges - learned.length))
         acc.foreach { case (c, l, r) => learned += ((learned.length + 1, l, r, c)) }
         words = words.view.mapValues { syms0 =>
           acc.foldLeft(syms0) { case (syms, (_, l, r)) => Bpe.applyMerge(syms, l, r) }
@@ -146,6 +162,86 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == refBatched(wc, merges = 5, batchK = 8))
     assert(got.length == 5)
+  }
+
+  test("property: accepted round-start counts are exactly sequential; " +
+      "batch application is order-independent (random symbol tables)") {
+    // Generative proof of the scaladoc's two claims, at the level where the
+    // conflict rule actually operates — arbitrary SYMBOL tables (mid-train
+    // states), where multi-char symbols make concatenation collisions
+    // common (e.g. symbol "ab" coexisting with candidate (a,b)):
+    //  1. counts: for each accepted pair k, recounting AFTER applying the
+    //     same round's higher-ranked accepted pairs leaves k's count
+    //     unchanged — what a sequential executor at k's turn would see;
+    //  2. order: applying the batch in any order yields the same table.
+    val rnd = new scala.util.Random(6767L)
+    var collisionsSeen = 0
+    (1 to 200).foreach { trial =>
+      val symPool = Seq("a", "b", "c", "ab", "ba", "aa", "abc")
+      val words: Seq[(Seq[String], Long)] = (1 to 8).map { _ =>
+        (Seq.fill(2 + rnd.nextInt(5))(symPool(rnd.nextInt(symPool.length))),
+          1L + rnd.nextInt(9))
+      }
+      val cands = rankedCands(words, minPairCount = 2, topM = 4096)
+      val acc = acceptBatch(cands, budget = 4)
+      // count collision-rule firings so the suite proves the arm is exercised
+      collisionsSeen += cands.zipWithIndex.count { case ((_, l, r), i) =>
+        cands.take(i).exists { case (_, ql, qr) =>
+          ((ql + qr) == l || (ql + qr) == r || (l + r) == ql || (l + r) == qr) &&
+            !(ql == l || ql == r || qr == l || qr == r)
+        }
+      }
+      acc.zipWithIndex.foreach { case ((c, l, r), k) =>
+        val applied = words.map { case (syms, cnt) =>
+          (acc.take(k).foldLeft(syms) { case (s, (_, al, ar)) =>
+            Bpe.applyMerge(s, al, ar) }, cnt)
+        }
+        val recount = rankedCands(applied, minPairCount = 1, topM = Int.MaxValue)
+          .collectFirst { case (c2, `l`, `r`) => c2 }.getOrElse(0L)
+        assert(recount == c, s"trial=$trial pair=($l,$r) round-start=$c recount=$recount")
+      }
+      val inOrder = words.map { case (syms, cnt) =>
+        (acc.foldLeft(syms) { case (s, (_, l, r)) => Bpe.applyMerge(s, l, r) }, cnt) }
+      val shuffled = rnd.shuffle(acc)
+      val anyOrder = words.map { case (syms, cnt) =>
+        (shuffled.foldLeft(syms) { case (s, (_, l, r)) => Bpe.applyMerge(s, l, r) }, cnt) }
+      assert(inOrder == anyOrder, s"trial=$trial batch=$acc")
+    }
+    assert(collisionsSeen > 0, "generator never exercised the collision arm")
+  }
+
+  test("batching is an approximation: a minted pair can outrank the batch") {
+    // The documented divergence boundary (Bpe scaladoc): corpus cab x10,
+    // de x3. Round-start candidates (a,b):10 < (c,a):10 by lex, (d,e):3.
+    // The batch accepts (a,b), rejects (c,a) (shares a), accepts (d,e).
+    // Sequential greedy instead merges (a,b), MINTS (c,ab):10, and takes
+    // that before (d,e). Counts stay exact either way; the SEQUENCE is
+    // where batching trades fidelity for round-trips.
+    val corpus = (Seq.fill(10)("cab") ++ Seq.fill(3)("de")).mkString(" ")
+    val wc = corpus.split(" ").groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batched = refBatched(wc, merges = 3, batchK = 2)
+    val sequential = refBatched(wc, merges = 3, batchK = 1)
+    assert(batched.take(2).map(m => (m._2, m._3)) == Seq(("a", "b"), ("d", "e")))
+    assert(sequential.take(2).map(m => (m._2, m._3)) == Seq(("a", "b"), ("c", "ab")))
+    // the engine agrees with the batched reference on the divergent corpus
+    val got = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", merges = 3, batchK = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == batched)
+  }
+
+  test("property: engine batched output matches the reference on random corpora") {
+    val rnd = new scala.util.Random(4242L)
+    (1 to 3).foreach { trial =>
+      val vocab = Seq("hug", "pug", "pun", "bun", "hugs", "cab", "abab", "banana",
+        "bandana", "cabbage", "abba", "dab")
+      val ws = (1 to 60).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val docs = ws.grouped(6).map(_.mkString(" ")).toSeq.toDF("text").repartition(5)
+      val wc = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = refBatched(wc, merges = 12, batchK = 4)
+      val got = Bpe.learnMerges(docs, "text", merges = 12, batchK = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == expect, s"trial=$trial words=$wc")
+    }
   }
 
   test("encodeWord: lowest-rank pair first, re-scan after each merge") {
