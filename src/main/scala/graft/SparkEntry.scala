@@ -1176,21 +1176,29 @@ object SparkEntry {
     // only variable piece is the decimal length of doc_id%40, which SQL
     // gets from length(CAST(... AS VARCHAR))).
     "q77_url_quality" -> ((s, dir) => {
+      // shapes 6/7 are regression armor for the WORD-level blocklist rule
+      // (UrlQuality scaladoc): "essexxx{i}" and "viagra{i}falls"/"porny"
+      // embed blocklist words inside longer tokens — the old substring
+      // matcher would hard-gate them, the token matcher must NOT.
       val d = col("doc_id")
       val i = pmod(d, lit(40))
-      val url = when(pmod(d, lit(6)) === 0,
+      val url = when(pmod(d, lit(8)) === 0,
           concat(lit("https://news.site"), i, lit(".com/articles/politics/story"), i))
-        .when(pmod(d, lit(6)) === 1,
+        .when(pmod(d, lit(8)) === 1,
           concat(lit("https://win-casino-"), i, lit(".bet/free-spins")))
-        .when(pmod(d, lit(6)) === 2,
+        .when(pmod(d, lit(8)) === 2,
           concat(lit("https://a1b2c3"), i, lit(".xyz/p?a=1&b=2&c=3")))
-        .when(pmod(d, lit(6)) === 3,
+        .when(pmod(d, lit(8)) === 3,
           concat(lit("https://shop.site"), i, lit(".com/p/x/y/z/deep/path/item"), i))
-        .when(pmod(d, lit(6)) === 4,
+        .when(pmod(d, lit(8)) === 4,
           concat(lit("https://xxx-movies"), i, lit(".com/")))
-        .otherwise(
+        .when(pmod(d, lit(8)) === 5,
           concat(lit("https://blog.site"), i, lit(".org/post-"), i,
             lit("-title-with-many-hyphens")))
+        .when(pmod(d, lit(8)) === 6,
+          concat(lit("https://essexxx"), i, lit(".example/essex-history")))
+        .otherwise(
+          concat(lit("https://viagra"), i, lit("falls.example/guide-porny?x=1&y=2")))
       val scoreUdf = udf((u: String) => graft.pipeline.UrlQuality.score(u))
       t(s, dir, "documents").select(d, url.as("url"))
         .select(d.as("doc_id"), scoreUdf(col("url")).as("s"))
@@ -1803,6 +1811,144 @@ object SparkEntry {
           col("a._3").as("proxy"),
           (col("latency_ms") > lit(ProxySession.HttpTimeoutMsDefault)).as("timed_out"))
         .orderBy(col("doc_id"), col("attempt"))
+    }),
+
+    // P10 proxy-rule ROUTING table (Proxy.ts:499-563; q35 covers the
+    // rotation timeline, this pins the routing decision itself): ordered
+    // rules with url/pattern/domain forms over closed-form URL shapes —
+    // exact-url matching is case-SENSITIVE string equality while wildcards
+    // are case-insensitive (m=0 vs m=1), `*.ads.test` does NOT match the
+    // bare apex (anchored `.*\.` needs the dot, m=4), first matching rule
+    // wins (m=0 also matches the late catch-all), unmatched and invalid
+    // URLs (no parseable host, m=6) route to NULL = default pool.
+    "q84_proxy_router" -> ((s, dir) => {
+      import graft.engine.ProxyRouter
+      val rules = Seq(
+        ProxyRouter.ProxyRule(url = Some("https://one.example.com/landing"), proxy = "p-exact"),
+        ProxyRouter.ProxyRule(pattern = Some("https://shop.example.com/p/*"), proxy = "p-pattern"),
+        ProxyRouter.ProxyRule(domain = Some("*.ads.test"), proxy = "p-ads"),
+        ProxyRouter.ProxyRule(domain = Some("ads.test"), proxy = "p-ads-root"),
+        ProxyRouter.ProxyRule(pattern = Some("*example.com/landing*"), proxy = "p-late"))
+      val d = col("doc_id")
+      val url = when(pmod(d, lit(8)) === 0, lit("https://one.example.com/landing"))
+        .when(pmod(d, lit(8)) === 1, lit("https://ONE.example.com/landing"))
+        .when(pmod(d, lit(8)) === 2, concat(lit("https://shop.example.com/p/"), d))
+        .when(pmod(d, lit(8)) === 3, lit("https://sub.ads.test/banner"))
+        .when(pmod(d, lit(8)) === 4, lit("https://ads.test/x"))
+        .when(pmod(d, lit(8)) === 5, lit("https://shop.example.com/q"))
+        .when(pmod(d, lit(8)) === 6, lit("not a url at all"))
+        .otherwise(lit("https://SHOP.example.com/P/9"))
+      val route = ProxyRouter.proxyColumn(s, rules)
+      t(s, dir, "documents").select(d, url.as("url"))
+        .select(d.as("doc_id"), col("url"), route(col("url")).as("proxy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C8 Crawl-delay quota composition (VERDICT r4 #6): budgets probed
+    // through the SAME politeKey + crawlDelayIndex path the schedule uses
+    // (CrawlEngine.politeBudgetColumn), host mode and politenessByDomain
+    // side by side. Fixture robots keyed by HOSTNAME sub{j}.site{k}.test:
+    // j<2 on k<=3 declares Crawl-delay 1+((3k+j)%7); j=2 has robots with
+    // no delay directive; k=4 has no robots at all. DuckDB independently
+    // recomputes min(base=8, max(1, floor(epoch=12 / delay))) and the
+    // domain group's max-delay (most-conservative member) with its own
+    // arithmetic — no closed-form shortcut.
+    "q85_crawl_delay_quota" -> ((s, dir) => {
+      import graft.engine.{CrawlConfig, CrawlEngine}
+      val robots: Map[String, String] =
+        (for (k <- 0 to 3; j <- 0 to 2) yield {
+          val body =
+            if (j == 2) "User-agent: *\nDisallow: /tmp"
+            else s"User-agent: *\nCrawl-delay: ${1 + ((3 * k + j) % 7)}"
+          s"sub$j.site$k.test" -> body
+        }).toMap
+      def cfg(id: String, byDomain: Boolean) = CrawlConfig(id, Seq("https://site0.test/"),
+        hostBudgetPerStep = 8, crawlDelayEpochSeconds = 12.0, politenessByDomain = byDomain)
+      val bHost = CrawlEngine.politeBudgetColumn(s, cfg("q85h", byDomain = false), robots)
+      val bDom = CrawlEngine.politeBudgetColumn(s, cfg("q85d", byDomain = true), robots)
+      val d = col("doc_id")
+      val host = concat(lit("sub"), pmod(d, lit(3)), lit(".site"), pmod(d, lit(5)), lit(".test"))
+      t(s, dir, "documents").select(d, host.as("host"))
+        .select(d.as("doc_id"), col("host"),
+          bHost(col("host")).as("budget_host"),
+          bDom(col("host")).as("budget_domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P3/P4/P7 link-filter matrix (Base.ts:327-353): the REAL
+    // compilePattern / matchesAny / isAdUrl kernels — minimatch glob
+    // (`**` crosses `/`), a `/re/flags` literal with find() semantics and
+    // the i flag, the `**/private/**` exclude, and the ad-domain
+    // registrable-domain gate — over closed-form URL shapes. DuckDB
+    // recomputes every decision with its own LIKE / regexp engine rather
+    // than replaying a truth table.
+    "q86_link_filters" -> ((s, dir) => {
+      import graft.core.UrlOps
+      import graft.engine.CrawlConfig
+      val include = Seq("https://site.test/docs/**", "/blog\\/[0-9]+/i")
+      val exclude = Seq("**/private/**")
+      val incC = include.map(UrlOps.compilePattern)
+      val excC = exclude.map(UrlOps.compilePattern)
+      val decide = udf { (u: String) =>
+        val inc = UrlOps.matchesAny(u, incC, include)
+        val exc = UrlOps.matchesAny(u, excC, exclude)
+        val ad = CrawlConfig.isAdUrl(u)
+        (inc, exc, ad, inc && !exc && !ad)
+      }
+      val d = col("doc_id")
+      val url = when(pmod(d, lit(8)) === 0, concat(lit("https://site.test/docs/a/"), d))
+        .when(pmod(d, lit(8)) === 1, lit("https://site.test/docs"))
+        .when(pmod(d, lit(8)) === 2, concat(lit("https://site.test/BLOG/"), d))
+        .when(pmod(d, lit(8)) === 3, concat(lit("https://site.test/docs/private/"), d))
+        .when(pmod(d, lit(8)) === 4, lit("https://ads.doubleclick.net/blog/55"))
+        .when(pmod(d, lit(8)) === 5, concat(lit("https://site.test/x/"), d))
+        .when(pmod(d, lit(8)) === 6, lit("https://site.test/docs/p?q=private"))
+        .otherwise(concat(lit("https://site.test/blog/"), d))
+      t(s, dir, "documents").select(d, url.as("url"))
+        .select(d.as("doc_id"), col("url"), decide(col("url")).as("f"))
+        .select(col("doc_id"), col("url"),
+          col("f._1").as("included"), col("f._2").as("excluded"),
+          col("f._3").as("ad_blocked"), col("f._4").as("followed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // VERDICT r4 #7: the SIGNED daily-delta near-dup form across TWO
+    // batches against one persisted index — each batch builds its
+    // signedFrames, matches, MATERIALIZES, then releases the frames
+    // (the unpersist contract an unbounded daily loop relies on;
+    // executor-storage boundedness across cycles is pinned in
+    // PipelineSpec). Batch a = doc_id%10 in {0,2} (only 0 matches),
+    // batch b = doc_id%10 in {5,7} (only 5 matches) — both reuse the
+    // q72 corpus construction, delta ids offset per batch.
+    "q87_incremental_signed" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val corpus = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(i => (i, graft.fixtures.DedupGen.incrCorpusText(i)))
+        .toDF("doc_id", "text")
+      val index = Dedup.lshBands(
+        Dedup.minhashSignatures(corpus, "text", "doc_id", numHashes = 32),
+        numHashes = 32, bands = 8)
+      val batches = Seq(
+        ("a", Set(0L, 2L), graft.fixtures.DedupGen.incrDeltaBase),
+        ("b", Set(5L, 7L), 2L * graft.fixtures.DedupGen.incrDeltaBase))
+      val outs = batches.map { case (label, mods, base) =>
+        val delta = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .filter(i => mods.contains(i % 10))
+          .map(i => (i + base, graft.fixtures.DedupGen.incrDeltaText(i)))
+          .toDF("doc_id", "text")
+        val frames = Dedup.signedFrames(delta, "text", "doc_id", numHashes = 32)
+        val res = Dedup.incrementalNearDupSigned(index, frames,
+            numHashes = 32, bands = 8, threshold = 0.5)
+          .select(lit(label).as("batch"), col("delta_id"), col("index_id"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+          .persist()
+        res.count() // materialize this batch BEFORE releasing its frames
+        frames.unpersist()
+        res
+      }
+      outs.reduce(_ unionByName _)
+        .orderBy(col("batch"), col("delta_id"), col("index_id"))
     }),
 
     "q36_browser_render" -> ((s, dir) => {
@@ -3511,7 +3657,7 @@ object SparkEntry {
     // L = decimal length of doc_id%40 is the only variable signal
     "q77_url_quality" ->
       """WITH v AS (
-        |  SELECT doc_id, doc_id % 6 AS c,
+        |  SELECT doc_id, doc_id % 8 AS c,
         |    length(CAST(doc_id % 40 AS VARCHAR)) AS L
         |  FROM documents
         |)
@@ -3520,8 +3666,8 @@ object SparkEntry {
         |    ELSE 1 END AS BIGINT) AS path_depth,
         |  CAST(CASE c WHEN 2 THEN 3 + L ELSE L END AS BIGINT) AS host_digits,
         |  CAST(CASE c WHEN 1 THEN 3 WHEN 4 THEN 1 WHEN 5 THEN 5
-        |    ELSE 0 END AS BIGINT) AS hyphens,
-        |  CAST(CASE c WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS params,
+        |    WHEN 6 THEN 1 WHEN 7 THEN 1 ELSE 0 END AS BIGINT) AS hyphens,
+        |  CAST(CASE c WHEN 2 THEN 3 WHEN 7 THEN 2 ELSE 0 END AS BIGINT) AS params,
         |  CAST(CASE WHEN c IN (1, 4) THEN 1 ELSE 0 END AS BIGINT) AS badword_hits,
         |  c IN (1, 4) AS blocked,
         |  CAST(CASE c
@@ -3530,6 +3676,8 @@ object SparkEntry {
         |    WHEN 2 THEN 19 + 2 * L
         |    WHEN 3 THEN 70 + 2 * L
         |    WHEN 4 THEN 1005 + 2 * L
+        |    WHEN 6 THEN 15 + 2 * L
+        |    WHEN 7 THEN 17 + 2 * L
         |    ELSE 35 + 2 * L
         |  END AS BIGINT) AS score
         |FROM v ORDER BY doc_id""".stripMargin,
@@ -3934,6 +4082,89 @@ object SparkEntry {
         |  ((doc_id * 7919) % 30000) > 20000 AS timed_out
         |FROM documents CROSS JOIN range(1, 4) t(j)
         |ORDER BY doc_id, attempt""".stripMargin,
+
+    // routing decision table replay (q84 query comment): NULL for the
+    // unmatched and invalid shapes
+    "q84_proxy_router" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'https://one.example.com/landing'
+        |    WHEN 1 THEN 'https://ONE.example.com/landing'
+        |    WHEN 2 THEN 'https://shop.example.com/p/' || doc_id
+        |    WHEN 3 THEN 'https://sub.ads.test/banner'
+        |    WHEN 4 THEN 'https://ads.test/x'
+        |    WHEN 5 THEN 'https://shop.example.com/q'
+        |    WHEN 6 THEN 'not a url at all'
+        |    ELSE 'https://SHOP.example.com/P/9' END AS url,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'p-exact' WHEN 1 THEN 'p-late' WHEN 2 THEN 'p-pattern'
+        |    WHEN 3 THEN 'p-ads' WHEN 4 THEN 'p-ads-root' WHEN 7 THEN 'p-pattern'
+        |    END AS proxy
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // true quota recompute (q85 query comment): per-host delay from the
+    // fixture arithmetic, domain mode takes the group max; no-delay and
+    // no-robots hosts keep the base budget 8
+    "q85_crawl_delay_quota" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS j, CAST(doc_id % 5 AS INT) AS k
+        |  FROM documents
+        |), delays AS (
+        |  SELECT k, j, 1 + ((3 * k + j) % 7) AS d
+        |  FROM (SELECT DISTINCT k, j FROM v) WHERE j < 2 AND k <= 3
+        |), dm AS (
+        |  SELECT k, max(d) AS dmax FROM delays GROUP BY k
+        |)
+        |SELECT v.doc_id, 'sub' || v.j || '.site' || v.k || '.test' AS host,
+        |  CAST(CASE WHEN de.d IS NULL THEN 8
+        |    ELSE least(8, greatest(1, 12 // de.d)) END AS BIGINT) AS budget_host,
+        |  CAST(CASE WHEN dm.dmax IS NULL THEN 8
+        |    ELSE least(8, greatest(1, 12 // dm.dmax)) END AS BIGINT) AS budget_domain
+        |FROM v LEFT JOIN delays de ON de.k = v.k AND de.j = v.j
+        |  LEFT JOIN dm ON dm.k = v.k
+        |ORDER BY v.doc_id""".stripMargin,
+
+    // independent filter recompute (q86 query comment): the include glob's
+    // `https://site.test/docs/**` is a prefix pattern <=> LIKE with '/%',
+    // the `/blog\/[0-9]+/i` literal <=> regexp_matches with the 'i' flag
+    // (both find(), non-anchored), `**/private/**` <=> contains '/private/',
+    // and the only ad-registrable host in the fixture is doubleclick.net
+    "q86_link_filters" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'https://site.test/docs/a/' || doc_id
+        |      WHEN 1 THEN 'https://site.test/docs'
+        |      WHEN 2 THEN 'https://site.test/BLOG/' || doc_id
+        |      WHEN 3 THEN 'https://site.test/docs/private/' || doc_id
+        |      WHEN 4 THEN 'https://ads.doubleclick.net/blog/55'
+        |      WHEN 5 THEN 'https://site.test/x/' || doc_id
+        |      WHEN 6 THEN 'https://site.test/docs/p?q=private'
+        |      ELSE 'https://site.test/blog/' || doc_id END AS url
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, url,
+        |    (url LIKE 'https://site.test/docs/%'
+        |      OR regexp_matches(url, 'blog/[0-9]+', 'i')) AS included,
+        |    url LIKE '%/private/%' AS excluded,
+        |    url LIKE '%doubleclick.net/%' AS ad_blocked
+        |  FROM v
+        |)
+        |SELECT doc_id, url, included, excluded, ad_blocked,
+        |  (included AND NOT excluded AND NOT ad_blocked) AS followed
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // two-batch signed replay (q87 query comment): matches are exactly the
+    // corpus-identical delta members, est 1.0, ids offset per batch
+    "q87_incremental_signed" ->
+      """SELECT * FROM (
+        |  SELECT 'a' AS batch, doc_id + 10000000 AS delta_id, doc_id AS index_id,
+        |    CAST(1.0 AS DOUBLE) AS est_jaccard
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 20000000, doc_id, CAST(1.0 AS DOUBLE)
+        |  FROM documents WHERE doc_id % 10 = 5
+        |) ORDER BY batch, delta_id, index_id""".stripMargin,
 
     // S2 decisions recomputed from the synthetic-resource construction:
     // blocked = |{i in 0..5 : (d+i)%3=0}| (a true recompute via range());

@@ -1326,6 +1326,27 @@ object CrawlEngine {
     if (cfg.crawlDelayEpochSeconds <= 0) base
     else CrawlConfig.hostBudgetWithDelay(base, cfg.crawlDelayEpochSeconds, delayIdx.get(key))
 
+  /** Public schedule-inspection surface for the politeness budget (C2×C8):
+    * `host -> effective per-wave budget` for `cfg` under `robotsBodies`, as
+    * a column transform taking the SAME politeKey + [[crawlDelayIndex]]
+    * probe the engine's schedule paths take — lets capacity planning and
+    * external schedulers ask "what budget would this crawl give host H"
+    * without constructing an engine. Index built once driver-side and
+    * broadcast; per-row cost is one map probe (plus a PSL lookup under
+    * politenessByDomain). */
+  def politeBudgetColumn(spark: org.apache.spark.sql.SparkSession, cfg: CrawlConfig,
+      robotsBodies: Map[String, String]): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val rules = robotsBodies.map { case (h, b) => (h, graft.core.Robots.parse(b)) }
+    val idx = crawlDelayIndex(Map(cfg.jobId -> cfg), rules).getOrElse(cfg.jobId, Map.empty)
+    val idxB = spark.sparkContext.broadcast(idx)
+    val cfgBc = spark.sparkContext.broadcast(cfg)
+    val f = org.apache.spark.sql.functions.udf { (host: String) =>
+      val c = cfgBc.value
+      effectiveBudgetIndexed(c, idxB.value, c.hostBudgetPerStep.toLong, politeKey(c, host))
+    }
+    (hostCol: org.apache.spark.sql.Column) => f(hostCol)
+  }
+
   /** Effective per-(job, politeKey) politeness budget: the job's
     * hostBudgetPerStep capped by the robots Crawl-delay quota when the job
     * opted in (CrawlConfig.crawlDelayEpochSeconds > 0; C2×C3). Pure — safe

@@ -70,6 +70,40 @@ class PipelineSpec extends AnyFunSuite {
       "unpersist must release the batch's two cached frames")
   }
 
+  test("signed daily-delta loop: executor storage is O(one batch) across cycles") {
+    // the unbounded-loop contract (Dedup.incrementalNearDupSigned scaladoc,
+    // exercised end-to-end by q87): sign batch -> match -> materialize ->
+    // unpersist, three times against one index; the persistent-RDD census
+    // must return to its pre-batch level after EVERY cycle, not just once.
+    val index = Dedup.lshBands(
+      Dedup.minhashSignatures(docs, "text", "doc_id", numHashes = 32), 32, 8)
+    index.count() // materialize the long-lived index (and ITS cached frames) first
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    def settledSize(limit: Int): Int = {
+      // Dataset.unpersist is non-blocking; give the async removal a moment
+      var n = spark.sparkContext.getPersistentRDDs.size
+      var waited = 0
+      while (n > limit && waited < 5000) { Thread.sleep(100); waited += 100
+        n = spark.sparkContext.getPersistentRDDs.size }
+      n
+    }
+    (1 to 3).foreach { b =>
+      val delta = Seq(
+        (1000L * b + 1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1000L * b + 2, s"fresh wording of cycle $b with entirely new vocabulary tokens only")
+      ).toDF("doc_id", "text")
+      val frames = Dedup.signedFrames(delta, "text", "doc_id", numHashes = 32)
+      val matches = Dedup.incrementalNearDupSigned(index, frames,
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .select("delta_id", "index_id").as[(Long, Long)].collect().toSet
+      assert(matches.contains((1000L * b + 1, 1L)), s"cycle $b lost the planted match")
+      assert(!matches.exists(_._1 == 1000L * b + 2), s"cycle $b matched fresh text")
+      frames.unpersist()
+      assert(settledSize(baseline) <= baseline,
+        s"cycle $b leaked cached frames: storage must stay O(one batch)")
+    }
+  }
+
   test("simhash pigeonhole banding finds all pairs within hamming distance") {
     val withSh = docs.map(r => (r.getLong(0), Dedup.simhash64(r.getString(1))))
       .toDF("doc_id", "simhash")
