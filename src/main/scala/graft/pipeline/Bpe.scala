@@ -82,7 +82,14 @@ object Bpe {
     *         pairs (`minPairCount`) first.
     */
   def learnMerges(docs: DataFrame, textCol: String, merges: Int,
-      minPairCount: Long = 2, batchK: Int = 1, candTopM: Int = 4096): DataFrame = {
+      minPairCount: Long = 2, batchK: Int = 1, candTopM: Int = 4096): DataFrame =
+    learnMergesWithRounds(docs, textCol, merges, minPairCount, batchK, candTopM)._1
+
+  /** [[learnMerges]] plus round telemetry: `_2` is the number of driver
+    * round-trips (batched rounds) the loop took — the quantity batching
+    * exists to shrink, reported by BpeBench against merges/batchK. */
+  def learnMergesWithRounds(docs: DataFrame, textCol: String, merges: Int,
+      minPairCount: Long = 2, batchK: Int = 1, candTopM: Int = 4096): (DataFrame, Int) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     require(batchK >= 1 && candTopM >= batchK,
       s"need batchK >= 1 and candTopM >= batchK, got $batchK/$candTopM")
@@ -109,7 +116,9 @@ object Bpe {
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var dry = false
+    var rounds = 0
     while (learned.length < merges && !dry) {
+      rounds += 1
       // adjacent-pair counts, weighted by word count; map-side combinable.
       // Ranked distributedly; only the top-candTopM window (1 row when
       // batchK = 1) ever reaches the driver.
@@ -165,8 +174,9 @@ object Bpe {
         words = next
       }
     }
-    spark.createDataFrame(learned.toSeq)
-      .select(col("merge_rank"), col("left"), col("right"), col("pair_count"))
+    (spark.createDataFrame(learned.toSeq)
+      .select(col("merge_rank"), col("left"), col("right"), col("pair_count")),
+      rounds)
   }
 
   /**

@@ -112,6 +112,18 @@ object Similarity {
     math.max(centEvery, need)
   }
 
+  /** Byte-aware centroid cap: the largest count that keeps the DRIVER's
+    * collected centroid set under `maxCentroidBytes` at dimension `dim`
+    * (8 bytes per double component), composed (min) with the caller's
+    * count cap — dimension-aware so "2^20 centroids" cannot silently mean
+    * ~6 GB of driver heap at dim 768. dim <= 0 (unknown / empty corpus)
+    * falls back to the count cap alone. Pure; spec'd with the stride rule. */
+  def centroidCountCap(maxCentroids: Long, maxCentroidBytes: Long, dim: Int): Long = {
+    require(maxCentroids >= 1 && maxCentroidBytes >= 1)
+    if (dim <= 0) maxCentroids
+    else math.min(maxCentroids, math.max(1L, maxCentroidBytes / (dim.toLong * 8)))
+  }
+
   /** IVF (inverted-file) ANN: a bounded centroid table — every
     * `centEvery`-th vector by id, a deterministic rule DuckDB can replay —
     * partitions the corpus into Voronoi lists; a query scores only the
@@ -121,25 +133,31 @@ object Similarity {
     * shuffle; the only exchange is the final top-k reduce
     * (TakeOrderedAndProject).
     *
-    * The collect is BOUNDED for any corpus: one map-side-combinable
-    * `max(id)` aggregate (8 bytes to the driver) feeds
-    * [[boundedCentEvery]], which widens the stride until the centroid
-    * count is ≤ `maxCentroids` (default 2^20 — a few GB of dim-64 vectors
-    * worst case, a few MB at realistic strides). At 10^9 rows with the
-    * default stride the old code collected 2×10^7 vectors; this caps it at
-    * 2^20 no matter what the caller passes. At 100 TB the assignment
+    * The collect is BOUNDED for any corpus — in BYTES, not just count: one
+    * map-side-combinable `max(id)` aggregate (8 bytes to the driver) plus
+    * a 1-row dimension probe feed [[boundedCentEvery]] via
+    * [[centroidCountCap]], which widens the stride until the centroid set
+    * fits BOTH `maxCentroids` (default 2^20) AND `maxCentroidBytes`
+    * (default 256 MB) at the corpus's dimension — so a dim-768 corpus caps
+    * at ~43k centroids instead of a silent ~6 GB of driver heap. At 10^9
+    * rows with the default stride the original code collected 2×10^7
+    * vectors; this caps the collect no matter what the caller passes. At 100 TB the assignment
     * column is precomputed at ingest ([[ivfAssign]]) and the corpus is
     * laid out partitioned by list id, so a query becomes `nprobe`
     * partition-pruned scans ([[ivfTopKAssigned]]) while the centroid table
     * stays a broadcast dimension. */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, centEvery: Long = 50, nprobe: Int = 4,
-      maxCentroids: Long = 1L << 20): DataFrame = {
+      maxCentroids: Long = 1L << 20, maxCentroidBytes: Long = 256L << 20): DataFrame = {
     val maxId = df.agg(max(col(idCol).cast("long"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val stride = boundedCentEvery(maxId, centEvery, maxCentroids)
+    // dimension probe (one LocalLimit-1 job) feeds the BYTE budget: the
+    // effective count cap is min(maxCentroids, maxCentroidBytes/(dim*8))
+    val dim = df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val stride = boundedCentEvery(maxId, centEvery,
+      centroidCountCap(maxCentroids, maxCentroidBytes, dim))
     val cents: Array[(Long, Array[Double])] = collectCentroids(df, vecCol, idCol, stride)
     require(cents.nonEmpty, s"no centroids: no $idCol divisible by $stride")
     val probeCids: Seq[Long] = probeLists(cents, query, nprobe)

@@ -127,10 +127,13 @@ class BpeSpec extends AnyFunSuite {
     val wc = (0 until 100).flatMap(i => sents(i % 12).split(" "))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val expect = refBatched(wc, merges = 64, batchK = 8)
-    val got = Bpe.learnMerges(docs, "text", merges = 64, batchK = 8)
+    val (gotDf, rounds) = Bpe.learnMergesWithRounds(docs, "text", merges = 64, batchK = 8)
+    val got = gotDf
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got.length == 64)
     assert(got == expect)
+    // round telemetry: every round accepts in [1, batchK] merges
+    assert(rounds >= 64 / 8 && rounds < 64, s"rounds=$rounds")
     // accepted pairs within any batch are symbol-disjoint by the rule;
     // spot-check: no symbol appears twice among any 8 consecutive ranks
     // that were learned in one round is implied by equality with the

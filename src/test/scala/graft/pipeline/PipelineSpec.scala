@@ -250,6 +250,48 @@ class PipelineSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet == exact)
   }
 
+  test("IVF centroid budget is byte-bounded at any dimension") {
+    // the pure cap rule: cap * dim * 8 <= maxCentroidBytes whenever the
+    // byte budget binds, for dimensions from tiny to embedding-sized
+    for (dim <- Seq(1, 16, 64, 768, 4096);
+         maxBytes <- Seq(64L, 1L << 20, 256L << 20);
+         maxCent <- Seq(1L, 1024L, 1L << 20)) {
+      val cap = Similarity.centroidCountCap(maxCent, maxBytes, dim)
+      assert(cap >= 1 && cap <= maxCent)
+      if (cap < maxCent) // byte budget bound => it must actually hold (or be the >=1 floor)
+        assert(cap == 1L || cap * dim * 8 <= maxBytes,
+          s"cap=$cap dim=$dim bytes=$maxBytes")
+    }
+    // dim 768 at the defaults: ~43k centroids, not 2^20 (~6 GB)
+    assert(Similarity.centroidCountCap(1L << 20, 256L << 20, 768) == (256L << 20) / (768 * 8))
+    // unknown dimension falls back to the count cap
+    assert(Similarity.centroidCountCap(1L << 20, 256L << 20, 0) == 1L << 20)
+    // integration: a 64-byte budget on dim-16 vectors (8 bytes/component
+    // => 2 centroids max wins over maxCentroids=4); exhaustive nprobe
+    // stays exact, and the driver-side collect respects the BYTE budget
+    val n = 200
+    val dim = 16
+    val vecs = spark.range(n).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        ((graft.fixtures.SiteGen.mix(i, d.toLong) % 1000L) / 500.0 - 1.0).toFloat)
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val cap = Similarity.centroidCountCap(4L, 64L, dim)
+    assert(cap == 1L) // 64 / (16*8) = 0 -> >=1 floor
+    val cap2 = Similarity.centroidCountCap(4L, 256L, dim)
+    assert(cap2 == 2L)
+    val stride = Similarity.boundedCentEvery(n - 1L, 20L, cap2)
+    val collected = Similarity.collectCentroids(vecs, "embedding", "vec_id", stride)
+    assert(collected.length <= 2 && collected.length.toLong * dim * 8 <= 256L)
+    val q = (0 until dim).map(d =>
+      (graft.fixtures.SiteGen.mix(999L, d.toLong) % 1000L) / 500.0 - 1.0)
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 10,
+      centEvery = 20, nprobe = 10, maxCentroids = 4, maxCentroidBytes = 256L)
+      .select("vec_id").as[Long].collect().toSet == exact)
+  }
+
   test("IVF ingest-time assignment: partition-prunable lists, query parity") {
     val n = 200
     val dim = 16
