@@ -54,7 +54,7 @@ object PlanAudit {
       "q64_redirect_resolve" -> "pointer doubling: the visible plan is only the LAST of 7 doubling rounds — one left join over the checkpointed constant-width (u, cur, hops, done) frame — because every round re-roots at a LogicalRDD; a naive walk would stack 32 sequential joins into one plan",
       "q65_canonical_clusters" -> "the parse+resolve kernel runs BELOW the key exchange: only narrow (url, canonical) rows shuffle for the cluster aggregate and member join — page HTML never moves",
       "q66_charset_decode"   -> "pure per-row sniff+decode kernel over the scan — zero exchange before the ordered output",
-      "q67_bpe_merges"       -> "the returned frame is the bounded driver-side merge list (LocalTableScan — one row per merge by design); the work ran in the per-round jobs: ONE corpus-sized word-count shuffle up front, then per merge a partial-combined pair aggregate over the checkpointed unique-word table ending in a LIMIT-1 TakeOrdered",
+      "q67_bpe_merges"       -> "the returned frame is the bounded driver-side merge list (LocalTableScan — one row per merge by design); the work ran in the per-ROUND jobs (batchK=8 accepts up to 8 symbol-disjoint merges per round — 64 merges in ~12 driver round-trips): ONE corpus-sized word-count shuffle up front, then per round a partial-combined pair aggregate over the checkpointed unique-word table ranked into a top-candTopM window (GlobalLimit over a sorted exchange) — only that window reaches the driver, acceptance is decided inside it",
       "q71_registrable_domain" -> "PSL matcher as a pure kernel projection — no exchange before the ordered output",
       "q72_incremental_neardup" -> "only the delta batch is shingled/signed; the banded index side joins on (band, bucket) with the delta build side — corpus text appears nowhere in the plan",
       "q73_bpe_encode"       -> "encode is one kernel pass (broadcast rank map, per-partition word cache) — zero exchange before the ordered output",
@@ -62,6 +62,16 @@ object PlanAudit {
       "q75_domain_graph"     -> "PLD collapse below the single map-side-combined aggregate exchange; countDistinct adds its standard two-phase expand, never a second scan",
       "q76_rank_buckets"     -> "exact global rank with NO Window operator: checkpointed range partitioning + broadcast offsets (the q50 machinery), bucket as an integer-comparison projection",
       "q77_url_quality"      -> "URL scoring as a pure kernel projection over the scan — no exchange before the ordered output",
+      "q78_serp_searxng"     -> "JSON parse + SERP row guards as one kernel pass over the doc scan (payloads synthesized in the projection, results exploded in place) — no exchange before the ordered output",
+      "q79_serp_ac"          -> "same shape as q78 for the AC-engine backend: parse kernel + explode in one pass, zero pre-output exchange",
+      "q80_url_template"     -> "template URL/query render as a pure kernel projection — no exchange before the ordered output",
+      "q81_kv_keys"          -> "crawl-data base64 key and md5-prefix screenshot key as codegen'd/kernel projections over the scan — no join, no exchange",
+      "q82_nofollow_links"   -> "extraction with nofollow hygiene is ONE kernel pass (link filtering happens inside the extract kernel, not as a downstream join)",
+      "q83_crawl_priority"   -> "the returned frame is the committed trace read (parquet scan + sort); the SCHEDULING plan it exercised — politenessWaves x priorityOf wave-split salted windows — is captured live in 'q24 engine stage: schedule-wide' below (the audit crawl runs waves=2 WITH priorityOf set, i.e. the q83 path)",
+      "q84_proxy_router"     -> "routing decision as a broadcast-rule-list UDF projection over the scan — zero exchange before the ordered output",
+      "q85_crawl_delay_quota" -> "budget probes as broadcast-index UDF projections: the robots map collapses driver-side to a politeKey->max-delay map at plan build (crawlDelayIndex), so the plan holds NO robots join — two map probes per row",
+      "q86_link_filters"     -> "include/exclude/ad-domain decisions as one kernel projection (compiled patterns ride the closure) — no exchange before the ordered output",
+      "q87_incremental_signed" -> "two unioned batch outputs, each the q72 shape: delta-only signing, (band,bucket) equi-join against the index, corpus text nowhere in the plan; batches materialize via InMemory roots (the persist-then-unpersist daily-loop contract)",
       "q31_credit_cost"      -> "when()-chain cost folded inside a partial (map-side) hash aggregate",
       "q43_dup_clusters"     -> "alternating-star CC: the visible plan is the LAST round over a checkpointed LogicalRDD root — constant Catalyst size over any round count (the q64/q74 property); only narrow (id, rep) pairs reach the round's exchanges, never text",
       "q44_link_pagerank"    -> "integer PageRank: last round = one src-keyed partial-combined aggregate + the contribution join over checkpointed roots; degree folded before the loop, so rounds exchange only (id, rank) longs",
@@ -100,7 +110,7 @@ object PlanAudit {
     val crawlStages = Seq(
       "fetch-join-broadcast" -> "small batches: frontier batch broadcast against the partition-cached corpus — the corpus is never shuffled or re-hashed",
       "expand-fast"          -> "gate-bounded expansion as one narrow coalesce(1) pass + broadcast seen anti-join — no hash exchange, no AQE stage round-trip",
-      "schedule-wide"        -> "politeness + limit as SALTED two-phase windows (rank within (job, key, salt) pre-cut, then within (job, key)) — no single-partition window on a hot host",
+      "schedule-wide"        -> "politeness + limit as SALTED two-phase windows (rank within (job, key, salt) pre-cut, then within (job, key)) — no single-partition window on a hot host; captured at politenessWaves=2 WITH priorityOf set (the q83 path): __wave is an integer projection off the rank, priority an ordinary sort column — neither adds a join or exchange",
       "fetch-join-shuffled-hash" -> "large batches: pinned shuffled-hash join, build = frontier batch side (AQE flip-flopping near thresholds made benches bimodal)",
       "expand-wide"          -> "candidate dedup shuffled by (jobId, urlNorm) [shard-keyed in sidecar mode], bloom pre-filter tags before the exact anti-join; enqueue caps as the same salted two-phase windows")
     capturedCrawlPlans(spark).foreach { plans =>
@@ -153,7 +163,12 @@ object PlanAudit {
       eng.run(Seq(CrawlConfig(
         jobId = "audit", seeds = Seq(graft.fixtures.SiteGen.pageUrl(0, 0)),
         strategy = "all", maxDepth = 12, limit = 150,
-        hostBudgetPerStep = 64, politenessWaves = 2, respectRobots = true)))
+        hostBudgetPerStep = 64, politenessWaves = 2, respectRobots = true,
+        // rank-guided frontier ON so the captured schedule plan is the q83
+        // waves x priorityOf path (priority is a materialized frontier
+        // column either way — the capture proves that, i.e. priorityOf
+        // adds no join/exchange to the schedule)
+        priorityOf = Some(u => -u.length.toLong))))
       val plans = eng.capturedPlans.toMap
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
