@@ -58,6 +58,22 @@ case "${1:-protocol}" in
       line=$(SPARK_GRAFT_SEEN=$mode SPARK_GRAFT_SHUFFLE=128 run_java graft.ScalingBench run 32 2>/dev/null | tail -1)
       echo "{\"seen\":\"$mode\",\"horizon\":1000000,${line#\{}"
     done ;;
+  ab10m)
+    # seen-filter A/B at the 10^7-key horizon (VERDICT r4 #4): one more
+    # decade over ab1m — the driver-resident filter is now ~120 MB of
+    # re-broadcast bloom per compaction while the sidecar's per-bucket
+    # blooms stay executor-local; shards sized to the horizon (8 x 2M) so
+    # bloom fpp is comparable across horizons. ~5 GB corpus, thin pages.
+    export SPARK_GRAFT_SCALING_DIR=/tmp/graft_scaling_corpus_10m
+    if [ ! -d "$SPARK_GRAFT_SCALING_DIR" ]; then
+      SPARK_GRAFT_PARAGRAPHS=2 SPARK_GRAFT_SHUFFLE=256 \
+        run_java graft.ScalingBench prep 10000000 64
+    fi
+    for mode in sidecar driver; do
+      line=$(SPARK_GRAFT_SEEN=$mode SPARK_GRAFT_BLOOM_PER_SHARD=2000000 \
+        SPARK_GRAFT_SHUFFLE=256 run_java graft.ScalingBench run 32 2>/dev/null | tail -1)
+      echo "{\"seen\":\"$mode\",\"horizon\":10000000,${line#\{}"
+    done ;;
   protocol)
     for r in 1 2 3; do
       for c in 2 8 32; do
@@ -73,5 +89,5 @@ case "${1:-protocol}" in
     for c in 8 32; do
       run_java graft.GraphBench "$c" 2>/dev/null | tail -1
     done ;;
-  *) echo "usage: $0 [prep|probe|protocol|ab|graph]" >&2; exit 2 ;;
+  *) echo "usage: $0 [prep|probe|protocol|ab|ab1m|ab10m|graph]" >&2; exit 2 ;;
 esac

@@ -100,7 +100,13 @@ object ScalingBench {
     require(seenMode == "driver" || seenMode == "sidecar",
       s"SPARK_GRAFT_SEEN must be 'driver' or 'sidecar', got '$seenMode'")
     val eng = new CrawlEngine(spark, pages, work,
-      settings = CrawlEngine.Settings(bloomShards = 8, bloomExpectedPerShard = 1000000L,
+      // SPARK_GRAFT_BLOOM_PER_SHARD: the 10^7-key A/B (scaling_protocol.sh
+      // ab10m) sizes shards to the horizon (8 x 2M) so driver-mode fpp
+      // stays comparable across horizons — the default 8 x 1M saturates at
+      // 10M keys and would conflate bloom degradation with seen-mode cost
+      settings = CrawlEngine.Settings(bloomShards = 8,
+        bloomExpectedPerShard =
+          sys.env.getOrElse("SPARK_GRAFT_BLOOM_PER_SHARD", "1000000").toLong,
         seenFilter = seenMode,
         // probing needs buckets to exist: compact eagerly in sidecar mode
         compactEvery = if (seenMode == "sidecar") 2 else 8,

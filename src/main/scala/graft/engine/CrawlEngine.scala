@@ -1214,8 +1214,16 @@ final class CrawlEngine(
         val fr = spark.read.schema(frontierSchema).parquet(ckpt.frontierPath(gen + 1))
         val rows = fr.groupBy($"jobId").agg(count(lit(1)).as("p"),
           sum(when($"__fresh", 1L).otherwise(0L)).as("fr")).collect()
-        val hs = fr.where($"__fresh").select($"jobId", $"urlNorm").as[(String, String)]
-          .collect().map { case (j, u) => SeenBloom.hash64(j + "-" + u) }.toSeq
+        // the per-URL hash rebuild collects one generation's FRESH
+        // (jobId, urlNorm) strings — inherent to driver-broadcast seen mode
+        // (that mode holds a hash per fresh URL by definition, so this is
+        // no bigger than the filter it repairs). The sidecar mode — the
+        // 10^9-10^10-key deployment shape — never ships hashes to the
+        // driver (needHashes=false) and skips this collect entirely: its
+        // recovery is the J-row aggregate above alone.
+        val hs = if (!needHashes) Nil
+          else fr.where($"__fresh").select($"jobId", $"urlNorm").as[(String, String)]
+            .collect().map { case (j, u) => SeenBloom.hash64(j + "-" + u) }.toSeq
         (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
           rows.map(r => r.getString(0) -> r.getLong(2)).toMap, hs)
       }
