@@ -19,18 +19,27 @@ THRESHOLD=${THRESHOLD:-1700}
 ATTEMPTS=${ATTEMPTS:-80}
 SLEEP=${SLEEP:-480}
 echo "== watcher start $(date -u +%F' '%T) threshold=$THRESHOLD attempts=$ATTEMPTS" >> "$LOG"
+# Launch gate: TWO consecutive healthy probes (back-to-back, ~3 min apart).
+# The 05:44 UTC attempt launched on a single 1810-probe and the window
+# decayed before round 1 finished (8-core samples fell to ~1430) — a
+# transient spike is indistinguishable from a stable idle stretch with one
+# probe, and a wasted launch costs 25 min of samples.
 launched=0
+streak=0
 for i in $(seq 1 "$ATTEMPTS"); do
   if [ -e /tmp/graft_busy ]; then
     echo "$(date -u +%H:%M:%S) probe#$i skipped (builder busy)" >> "$LOG"
+    streak=0
     sleep 120
     continue
   fi
   line=$(scripts/scaling_protocol.sh probe 2>/dev/null | tail -1)
   tput=$(echo "$line" | python3 -c "import json,sys; print(json.load(sys.stdin)['urls_per_sec'])" 2>/dev/null || echo 0)
-  echo "$(date -u +%H:%M:%S) probe#$i $tput" >> "$LOG"
   ok=$(python3 -c "print(1 if float('$tput' or 0)>=$THRESHOLD else 0)")
-  if [ "$ok" = "1" ]; then launched=1; break; fi
+  if [ "$ok" = "1" ]; then streak=$((streak+1)); else streak=0; fi
+  echo "$(date -u +%H:%M:%S) probe#$i $tput streak=$streak" >> "$LOG"
+  if [ "$streak" -ge 2 ]; then launched=1; break; fi
+  if [ "$streak" = "1" ]; then continue; fi   # confirm immediately, no sleep
   sleep "$SLEEP"
 done
 if [ "$launched" = "1" ]; then
