@@ -74,6 +74,22 @@ case "${1:-protocol}" in
         SPARK_GRAFT_SHUFFLE=256 run_java graft.ScalingBench run 32 2>/dev/null | tail -1)
       echo "{\"seen\":\"$mode\",\"horizon\":10000000,${line#\{}"
     done ;;
+  scale10m)
+    # 8 -> 32 pairing on the 10M-page corpus (floor-amortized pairing B):
+    # at 10M pages the ~0.5 s/generation superstep floor amortizes 10x
+    # further than the 100k protocol corpus, so this pairing isolates the
+    # DRAM roofline (kernel ceiling 0.757, BENCH.md thread table) from the
+    # fixed-cost floor. Driver seen mode, horizon-sized bloom shards.
+    export SPARK_GRAFT_SCALING_DIR=/tmp/graft_scaling_corpus_10m
+    if [ ! -d "$SPARK_GRAFT_SCALING_DIR" ]; then
+      SPARK_GRAFT_PARAGRAPHS=2 SPARK_GRAFT_SHUFFLE=256 \
+        run_java graft.ScalingBench prep 10000000 64
+    fi
+    for c in 8 32; do
+      line=$(SPARK_GRAFT_SEEN=driver SPARK_GRAFT_BLOOM_PER_SHARD=2000000 \
+        SPARK_GRAFT_SHUFFLE=256 run_java graft.ScalingBench run "$c" 2>/dev/null | tail -1)
+      echo "{\"pairing\":\"8-32@10m\",${line#\{}"
+    done ;;
   protocol)
     for r in 1 2 3; do
       for c in 2 8 32; do
@@ -89,5 +105,5 @@ case "${1:-protocol}" in
     for c in 8 32; do
       run_java graft.GraphBench "$c" 2>/dev/null | tail -1
     done ;;
-  *) echo "usage: $0 [prep|probe|protocol|ab|ab1m|ab10m|graph]" >&2; exit 2 ;;
+  *) echo "usage: $0 [prep|probe|protocol|ab|ab1m|ab10m|scale10m|graph]" >&2; exit 2 ;;
 esac
